@@ -1,0 +1,61 @@
+"""Turn featurization: transcripts → dense float64 feature vectors.
+
+The reference consumes a dense float matrix + binary label
+(/root/reference/pystreamfs/pystreamfs.py:10-26); this module produces the
+equivalent per-turn vector from the transcript columns — **all native Spark
+column expressions** (whole-stage codegen; zero Python in this stage), per
+the FIXTURES.md §F2 contract:
+
+  f0  length(text)                     f1  word count
+  f2  role == 'user'                   f3  tool is not null
+  f4..f7  one-hot tool ∈ {search, exec, read, write}
+  f8  turn_idx                         f9  seconds since previous turn
+  f10 chars per word
+  f11..f15  hashed token-count buckets (xxhash64(token) mod 5)
+
+The label mirrors the reference's binary target: role == 'assistant' → 1.
+Output columns: original key/order columns + ``features array<double>`` +
+``label double``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_HASH_BUCKETS = 5
+N_FEATURES = 11 + N_HASH_BUCKETS
+
+_TOOLS = ["search", "exec", "read", "write"]
+
+
+def featurize_turns(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx", "ts"),
+    seed: int = 42,
+) -> DataFrame:
+    w = Window.partitionBy(entity_col).orderBy(*[F.col(c) for c in order_cols])
+
+    f0 = F.length("text").cast("double")
+    toks = F.split(F.col("text"), " ")
+    f1 = F.size(toks).cast("double")
+    f2 = F.when(F.col("role") == "user", 1.0).otherwise(0.0)
+    f3 = F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0)
+    onehot = [F.when(F.col("tool") == t, 1.0).otherwise(0.0) for t in _TOOLS]
+    f8 = F.col("turn_idx").cast("double")
+    prev_ts = F.lag("ts").over(w)
+    f9 = F.when(prev_ts.isNull(), 0.0).otherwise(
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).cast("double")
+    )
+    f10 = f0 / F.greatest(f1, F.lit(1.0))
+    # hashed token-count buckets: filter+size beats explode/groupBy — stays
+    # a single projection, no extra shuffle
+    buckets = [
+        F.size(F.filter(toks, lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), N_HASH_BUCKETS) == b)).cast("double")
+        for b in range(N_HASH_BUCKETS)
+    ]
+
+    feats = F.array(f0, f1, f2, f3, *onehot, f8, f9, f10, *buckets)
+    label = F.when(F.col("role") == "assistant", 1.0).otherwise(0.0)
+    return df.withColumn("features", feats).withColumn("label", label)

@@ -1,0 +1,91 @@
+"""Parity: engine folds (both physical strategies) vs the NumPy oracle.
+
+For every synthetic conversation the engine's per-window weight vectors,
+top-m selections and window row-counts must match an independent eager
+replay of the reference loop (tests/oracle_ref.py) — OFS/EFS allclose at
+rtol 1e-9/atol 1e-12 (pure arithmetic), FSDS compared on w (already
+sign-invariant, same LAPACK on both sides).
+"""
+
+import numpy as np
+import pytest
+
+from pystreamfs_spark.fold import fold_weights, fold_weights_stream
+from pystreamfs_spark.functions.features import featurize_turns
+from pystreamfs_spark.sources.transcripts import synthesize_transcripts
+
+from oracle_ref import simulate
+
+BATCH = 13  # deliberately does not divide most conversation lengths
+NUM_FEATURES = 5
+
+
+@pytest.fixture(scope="module")
+def featurized(spark):
+    df = featurize_turns(synthesize_transcripts(spark, n_convs=12, seed=7)).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def per_conv_matrices(featurized):
+    pdf = featurized.select("conv_id", "turn_idx", "ts", "features", "label").toPandas()
+    out = {}
+    for conv_id, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["turn_idx", "ts"])
+        out[conv_id] = (
+            np.stack(g["features"].to_numpy()).astype(np.float64),
+            g["label"].to_numpy(dtype=np.float64),
+        )
+    return out
+
+
+def _collect_engine(df):
+    rows = df.collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.conv_id, {})[r.window_id] = r
+    return out
+
+
+@pytest.mark.parametrize("kernel,kw", [("ofs", {}), ("efs", {}), ("fsds", {"k": 2, "ell": 0})])
+@pytest.mark.parametrize("strategy", [fold_weights, fold_weights_stream])
+def test_fold_matches_oracle(featurized, per_conv_matrices, kernel, kw, strategy):
+    eng = _collect_engine(
+        strategy(featurized, kernel=kernel, batch_size=BATCH, num_features=NUM_FEATURES, kernel_kwargs=kw)
+    )
+    assert set(eng) == set(per_conv_matrices)
+    for conv_id, (X, y) in per_conv_matrices.items():
+        ora = simulate(X, y, kernel=kernel, batch_size=BATCH, num_features=NUM_FEATURES, **kw)
+        n_windows = (len(X) + BATCH - 1) // BATCH
+        assert len(eng[conv_id]) == n_windows == len(ora["w"])
+        for wid in range(n_windows):
+            row = eng[conv_id][wid]
+            np.testing.assert_allclose(
+                np.array(row.w), ora["w"][wid], rtol=1e-9, atol=1e-12,
+                err_msg=f"{kernel} conv={conv_id} window={wid}",
+            )
+            assert list(row.selected) == ora["selected"][wid], f"{kernel} conv={conv_id} window={wid}"
+            expected_rows = min(BATCH, len(X) - wid * BATCH)
+            assert row.win_rows == expected_rows
+
+
+def test_partial_last_window_and_tiny_convs(spark):
+    # conversations shorter than the batch produce exactly one partial window
+    df = featurize_turns(synthesize_transcripts(spark, n_convs=6, seed=11))
+    out = fold_weights(df, kernel="ofs", batch_size=10_000, num_features=NUM_FEATURES)
+    pdf = out.toPandas()
+    assert (pdf["window_id"] == 0).all()
+    sizes = df.groupBy("conv_id").count().toPandas().set_index("conv_id")["count"]
+    got = pdf.set_index("conv_id")["win_rows"]
+    assert got.sort_index().tolist() == sizes.sort_index().tolist()
+
+
+def test_accuracy_parity_ofs(featurized, per_conv_matrices):
+    eng = _collect_engine(
+        fold_weights(featurized, kernel="ofs", batch_size=BATCH, num_features=NUM_FEATURES, with_accuracy=True)
+    )
+    for conv_id, (X, y) in per_conv_matrices.items():
+        ora = simulate(X, y, kernel="ofs", batch_size=BATCH, num_features=NUM_FEATURES, with_accuracy=True)
+        for wid, acc in enumerate(ora["acc"]):
+            assert eng[conv_id][wid].acc == pytest.approx(acc, abs=1e-12)
