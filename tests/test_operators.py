@@ -1,0 +1,184 @@
+"""Operator-library tests: sessionize, windows, as-of join, stability, top-k."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pystreamfs_spark.fold import fold_weights
+from pystreamfs_spark.functions.features import featurize_turns
+from pystreamfs_spark.operators import (
+    array_top_m_indices,
+    asof_join,
+    assign_count_windows,
+    backfill,
+    fscr,
+    nogueira_stability,
+    rolling_agg,
+    sessionize,
+    strict_prefix_agg,
+    top_k_per_group,
+    with_lag_lead,
+)
+from pystreamfs_spark.sources.transcripts import synthesize_transcripts
+
+from oracle_ref import simulate
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def weights(spark):
+    df = featurize_turns(synthesize_transcripts(spark, n_convs=10, seed=5))
+    return fold_weights(df, kernel="ofs", batch_size=7, num_features=5).cache()
+
+
+@pytest.fixture(scope="module")
+def matrices(spark):
+    df = featurize_turns(synthesize_transcripts(spark, n_convs=10, seed=5))
+    pdf = df.select("conv_id", "turn_idx", "ts", "features", "label").toPandas()
+    out = {}
+    for conv_id, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["turn_idx", "ts"])
+        out[conv_id] = (
+            np.stack(g["features"].to_numpy()).astype(np.float64),
+            g["label"].to_numpy(dtype=np.float64),
+        )
+    return out
+
+
+def test_fscr_matches_oracle(weights, matrices):
+    got = {
+        (r.conv_id, r.window_id): r.fscr
+        for r in fscr(weights, num_features=5).collect()
+    }
+    for conv_id, (X, y) in matrices.items():
+        ora = simulate(X, y, kernel="ofs", batch_size=7, num_features=5)
+        assert got[(conv_id, 0)] is None
+        for t, val in enumerate(ora["fscr"], start=1):
+            assert got[(conv_id, t)] == pytest.approx(val, abs=1e-12), (conv_id, t)
+
+
+def test_nogueira_matches_numpy(weights):
+    m = 16
+
+    def nogueira_np(sel_lists):
+        k = len(sel_lists)
+        Z = np.zeros((k, m))
+        for i, s in enumerate(sel_lists):
+            Z[i, list(s)] = 1.0
+        p = Z.mean(axis=0)
+        s2 = k / (k - 1) * p * (1 - p)
+        dbar = Z.sum(axis=1).mean()
+        q = dbar / m
+        return 1.0 - s2.mean() / (q * (1 - q))
+
+    got = {r.conv_id: (r.k_windows, r.stability) for r in nogueira_stability(weights).collect()}
+    pdf = weights.toPandas()
+    for conv_id, g in pdf.groupby("conv_id"):
+        sels = g.sort_values("window_id")["selected"].tolist()
+        k, stab = got[conv_id]
+        assert k == len(sels)
+        if len(sels) >= 2:
+            assert stab == pytest.approx(nogueira_np(sels), abs=1e-9), conv_id
+        else:
+            assert stab is None
+
+
+def test_array_top_m_matches_kernel_selection(weights):
+    """SQL twin of the selection rule: same |w| multiset as the kernel's
+    argsort pick (index ties may legally differ: np quicksort is unstable)."""
+    twin = array_top_m_indices(weights, "w", m=5, key_cols=["conv_id", "window_id"])
+    joined = weights.join(twin, ["conv_id", "window_id"]).collect()
+    assert joined
+    for r in joined:
+        kernel_vals = sorted(abs(r.w[i]) for i in r.selected)
+        sql_vals = sorted(abs(r.w[i]) for i in r.top_idx)
+        assert kernel_vals == pytest.approx(sql_vals, abs=0.0), (r.conv_id, r.window_id)
+
+
+def test_sessionize_hand_case(spark):
+    rows = [
+        Row(conv_id="a", ts=ts(0)),
+        Row(conv_id="a", ts=ts(10)),
+        Row(conv_id="a", ts=ts(50)),   # 40-min gap → new session
+        Row(conv_id="a", ts=ts(55)),
+        Row(conv_id="a", ts=ts(120)),  # 65-min gap → new session
+        Row(conv_id="b", ts=ts(0)),
+    ]
+    out = sessionize(spark.createDataFrame(rows), gap_seconds=1800).orderBy("conv_id", "ts").collect()
+    assert [r.session_id for r in out] == [0, 0, 1, 1, 2, 0]
+
+
+def test_asof_union_hand_case_and_broadcast_equivalence(spark):
+    left = spark.createDataFrame(
+        [Row(k="a", ts=ts(5)), Row(k="a", ts=ts(10)), Row(k="a", ts=ts(2)), Row(k="b", ts=ts(7))]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", ts=ts(3), v=1.0), Row(k="a", ts=ts(10), v=2.0), Row(k="c", ts=ts(1), v=9.0)]
+    )
+    expect = {("a", ts(2)): None, ("a", ts(5)): 1.0, ("a", ts(10)): 2.0, ("b", ts(7)): None}
+    for strategy in ("union", "broadcast"):
+        got = {(r.k, r.ts): r.v for r in asof_join(left, right, on="k", strategy=strategy).collect()}
+        assert got == expect, strategy
+    # exclusive (strictly prior) variant: the exact-ts match disappears
+    got = {
+        (r.k, r.ts): r.v
+        for r in asof_join(left, right, on="k", strategy="union", allow_exact_matches=False).collect()
+    }
+    assert got[("a", ts(10))] == 1.0
+
+
+def test_asof_strategies_agree_on_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "signup").select("user_id", "ts", F.col("value").alias("signup_value"))
+    a = asof_join(left, right, on="user_id", strategy="union").orderBy("event_id").collect()
+    b = asof_join(left, right, on="user_id", strategy="broadcast").orderBy("event_id").collect()
+    assert len(a) == len(b) > 0
+    assert [(r.event_id, r.signup_value) for r in a] == [(r.event_id, r.signup_value) for r in b]
+
+
+def test_backfill_lag_lead_rolling_prefix(spark):
+    rows = [
+        Row(conv_id="a", turn_idx=i, ts=ts(i), v=(None if i % 2 else float(i)))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows)
+    out = backfill(df, ["v"]).orderBy("turn_idx").collect()
+    assert [r.v_ffill for r in out] == [0.0, 0.0, 2.0, 2.0, 4.0, 4.0]
+
+    out = with_lag_lead(df, ["v"], offsets=(1,)).orderBy("turn_idx").collect()
+    assert out[2].v_lag1 is None and out[2].v_lead1 is None  # neighbors are null
+    assert out[1].v_lag1 == 0.0 and out[1].v_lead1 == 2.0
+
+    out = (
+        rolling_agg(df, {"cnt3": F.count("v"), "sum3": F.sum("v")}, n_preceding=2)
+        .orderBy("turn_idx")
+        .collect()
+    )
+    assert [r.cnt3 for r in out] == [1, 1, 2, 1, 2, 1]
+    assert out[4].sum3 == 6.0  # rows 2..4 → non-null v: 2.0 + 4.0
+
+    out = strict_prefix_agg(df, {"prior_sum": F.sum("v")}).orderBy("turn_idx").collect()
+    assert out[0].prior_sum is None  # empty strict prefix — no leakage
+    assert out[5].prior_sum == 6.0  # 0+2+4, current row excluded
+
+
+def test_top_k_per_group(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = top_k_per_group(
+        li, ["l_returnflag"], "l_extendedprice", k=3, tie_breakers=["l_orderkey", "l_linenumber"]
+    )
+    pdf = out.toPandas()
+    assert (pdf.groupby("l_returnflag").size() <= 3).all()
+    mx = li.groupBy("l_returnflag").agg(F.max("l_extendedprice").alias("mx")).toPandas()
+    top1 = pdf[pdf.rk == 1].set_index("l_returnflag")["l_extendedprice"]
+    for flag, m in mx.set_index("l_returnflag")["mx"].items():
+        assert top1[flag] == m
