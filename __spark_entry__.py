@@ -1,38 +1,693 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (OFS feature-weight fold + FSCR over
+synthesized transcripts at sf0.001).
+``queries()`` — one entry per implemented operator (SURVEY.md §2); each
+callable takes (spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — matching ANSI SQL for DuckDB on the same parquet tables.
+Kernel folds / multimodal ops are genuinely non-SQL-expressible → no oracle
+entry (driver records rows-only checks).
+
+Column-name and dtype parity between the two sides is deliberate: every
+computed column is aliased identically, BIGINT/INT casts are explicit, and
+float aggregates are rounded at a precision where the underlying value is
+exact (sums of 2-decimal data → round 2/4; integer ratios are IEEE-exact
+unrounded; cross-engine cosine → round 6).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+GAP = 1800
+BATCH = 50
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic transcripts sized to the scale factor."""
+    from pystreamfs_spark.sources.transcripts import synthesize_transcripts
+
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        sf = 0.01
+    n_convs = max(20, int(4000 * sf))
+    return synthesize_transcripts(spark, n_convs=n_convs, seed=42)
+
+
+# --------------------------------------------------------------------------
+# engine-side queries
+# --------------------------------------------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    from pystreamfs_spark.operators import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, entity_col="user_id", ts_col="ts", gap_seconds=GAP, order_cols=("event_id",)).select(
+        "user_id", "event_id", "session_id"
+    )
+
+
+def q_count_windows(spark, sf_dir):
+    from pystreamfs_spark.operators import assign_count_windows
+
+    ev = _t(spark, sf_dir, "events")
+    return assign_count_windows(ev, entity_col="user_id", order_cols=("ts", "event_id"), batch_size=BATCH).select(
+        "user_id", "event_id", "window_id"
+    )
+
+
+def q_lag_lead(spark, sf_dir):
+    from pystreamfs_spark.operators import with_lag_lead
+
+    ev = _t(spark, sf_dir, "events")
+    return with_lag_lead(ev, ["value"], entity_col="user_id", order_cols=("ts", "event_id")).select(
+        "user_id", "event_id", "value_lag1", "value_lead1"
+    )
+
+
+def q_backfill(spark, sf_dir):
+    from pystreamfs_spark.operators import backfill
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(F.col("value"))
+    )
+    return backfill(ev, ["v"], entity_col="user_id", order_cols=("ts", "event_id")).select(
+        "user_id", "event_id", "v_ffill"
+    )
+
+
+def q_rolling(spark, sf_dir):
+    from pystreamfs_spark.operators import rolling_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_agg(
+        ev,
+        {"v_cnt5": F.count("value"), "v_sum5_raw": F.sum("value")},
+        n_preceding=4,
+        entity_col="user_id",
+        order_cols=("ts", "event_id"),
+    )
+    return out.select("user_id", "event_id", "v_cnt5", F.round("v_sum5_raw", 2).alias("v_sum5"))
+
+
+def q_strict_prefix(spark, sf_dir):
+    from pystreamfs_spark.operators import strict_prefix_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = strict_prefix_agg(
+        ev,
+        {"prior_cnt": F.count("value"), "prior_sum_raw": F.sum("value")},
+        entity_col="user_id",
+        order_cols=("ts", "event_id"),
+    )
+    return out.select("user_id", "event_id", "prior_cnt", F.round("prior_sum_raw", 2).alias("prior_sum"))
+
+
+def q_asof_join(spark, sf_dir):
+    from pystreamfs_spark.operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "signup").select("user_id", "ts", F.col("value").alias("signup_value"))
+    return asof_join(left, right, on="user_id").select("user_id", "event_id", "signup_value")
+
+
+def q_asof_join_broadcast(spark, sf_dir):
+    from pystreamfs_spark.operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "signup").select("user_id", "ts", F.col("value").alias("signup_value"))
+    return asof_join(left, right, on="user_id", strategy="broadcast").select("user_id", "event_id", "signup_value")
+
+
+def q_session_stats(spark, sf_dir):
+    from pystreamfs_spark.operators import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, entity_col="user_id", ts_col="ts", gap_seconds=GAP, order_cols=("event_id",))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("v_sum"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_s"),
+    )
+
+
+def q_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v_sum"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    from pystreamfs_spark.operators import top_k_per_group
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per_cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return top_k_per_group(per_cust, ["n_name"], "revenue", 3, tie_breakers=["c_custkey"]).select(
+        "n_name", "c_custkey", "revenue", F.col("rk").cast("int").alias("rk")
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    from pystreamfs_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.char_count(F.col("text")).alias("n_chars"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.stopword_count(F.col("text")).alias("stop_cnt"),
+        T.punct_count(F.col("text")).alias("punct_cnt"),
+        T.chars_per_token(F.col("text")).alias("cpt"),
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    from pystreamfs_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+        T.lang_id(F.col("text")).alias("lang_guess"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    from pystreamfs_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from pystreamfs_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_sigs(spark, sf_dir):
+    from pystreamfs_spark.operators.dedup import minhash_signatures
+
+    out = minhash_signatures(_t(spark, sf_dir, "documents"), n_bands=8, k=3)
+    return out.select("doc_id", F.col("band").cast("long").alias("band"), "sig")
+
+
+def q_minhash_candidates(spark, sf_dir):
+    from pystreamfs_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), n_bands=8, k=3)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from pystreamfs_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2)
+
+
+def q_simhash(spark, sf_dir):
+    from pystreamfs_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), n_bits=16)
+
+
+def q_embed_topk(spark, sf_dir):
+    from pystreamfs_spark.operators.ann import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = cosine_topk(emb, q, k=5)
+    return out.select("query_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), F.col("rk").cast("int").alias("rk"))
+
+
+def q_fscr_sql(spark, sf_dir):
+    """SQL-checkable FSCR: selection = top-5 |dims| of each embedding,
+    consecutive windows = vec_id order within each label group."""
+    from pystreamfs_spark.operators import array_top_m_indices, fscr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sel = array_top_m_indices(emb, "embedding", 5, ["label", "vec_id"], out_col="selected")
+    out = fscr(sel, num_features=5, entity_col="label", window_col="vec_id")
+    return out.select("label", "vec_id", "fscr")
+
+
+def q_nogueira_sql(spark, sf_dir):
+    from pystreamfs_spark.operators import array_top_m_indices, nogueira_stability
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sel = array_top_m_indices(emb, "embedding", 5, ["label", "vec_id"], out_col="selected")
+    out = nogueira_stability(sel, n_total_features=64, entity_col="label")
+    return out.select("label", "k_windows", F.round(F.col("stability"), 6).alias("stability"))
+
+
+# ---- kernel folds & multimodal (non-SQL-expressible → rows-only checks) ----
+
+def _fold_query(kernel, kw):
+    def run(spark, sf_dir):
+        from pystreamfs_spark.fold import fold_weights_stream
+        from pystreamfs_spark.functions import featurize_turns
+
+        f = featurize_turns(_transcripts(spark, sf_dir))
+        out = fold_weights_stream(f, kernel=kernel, batch_size=BATCH, num_features=5, kernel_kwargs=kw)
+        return out.select("conv_id", "window_id", "win_rows", "w", "selected")
+
+    return run
+
+
+def q_fscr_kernel(spark, sf_dir):
+    from pystreamfs_spark.fold import fold_weights_stream
+    from pystreamfs_spark.functions import featurize_turns
+    from pystreamfs_spark.operators import fscr
+
+    f = featurize_turns(_transcripts(spark, sf_dir))
+    w = fold_weights_stream(f, kernel="ofs", batch_size=BATCH, num_features=5)
+    return fscr(w, num_features=5).select("conv_id", "window_id", "fscr")
+
+
+def q_nogueira_kernel(spark, sf_dir):
+    from pystreamfs_spark.fold import fold_weights_stream
+    from pystreamfs_spark.functions import featurize_turns
+    from pystreamfs_spark.operators import nogueira_stability
+
+    f = featurize_turns(_transcripts(spark, sf_dir))
+    w = fold_weights_stream(f, kernel="ofs", batch_size=BATCH, num_features=5)
+    return nogueira_stability(w)
+
+
+def q_prequential_ofs(spark, sf_dir):
+    from pystreamfs_spark.fold import fold_weights
+    from pystreamfs_spark.functions import featurize_turns
+
+    f = featurize_turns(_transcripts(spark, sf_dir))
+    out = fold_weights(f, kernel="ofs", batch_size=BATCH, num_features=5, with_accuracy=True)
+    return out.select("conv_id", "window_id", "acc", "train_rows")
+
+
+def q_multimodal_features(spark, sf_dir):
+    from pystreamfs_spark.functions.multimodal import extract_image_features, synthesize_media
+
+    media = synthesize_media(spark, n_rows=256, seed=42)
+    return extract_image_features(media)
+
+
+def q_lsh_ann(spark, sf_dir):
+    from pystreamfs_spark.operators.ann import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = lsh_cosine_topk(emb, q, dims=64, k=5, n_planes=4)
+    return out.select("query_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), F.col("rk").cast("int").alias("rk"))
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from pystreamfs_spark.operators.ann import cosine_self_similar
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_self_similar(emb, dims=64, threshold=0.3, n_planes=4)
+
+
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: leakage-free OFS feature-weight fold + FSCR over synthetic
+    transcripts at sf0.001."""
+    return q_fscr_kernel(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "sessionize": q_sessionize,
+        "count_windows": q_count_windows,
+        "lag_lead": q_lag_lead,
+        "backfill": q_backfill,
+        "rolling": q_rolling,
+        "strict_prefix": q_strict_prefix,
+        "asof_join": q_asof_join,
+        "asof_join_broadcast": q_asof_join_broadcast,
+        "session_stats": q_session_stats,
+        "hourly": q_hourly,
+        "pricing_summary": q_pricing_summary,
+        "nation_revenue": q_nation_revenue,
+        "top_customers": q_top_customers,
+        "doc_stats": q_doc_stats,
+        "doc_quality": q_doc_quality,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sigs": q_minhash_sigs,
+        "minhash_candidates": q_minhash_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "embed_topk": q_embed_topk,
+        "fscr_sql": q_fscr_sql,
+        "nogueira_sql": q_nogueira_sql,
+        # kernel folds / Arrow UDF ops — rows-only checks
+        "ofs_weights": _fold_query("ofs", {}),
+        "fsds_weights": _fold_query("fsds", {"k": 2, "ell": 0}),
+        "efs_weights": _fold_query("efs", {}),
+        "fscr_kernel": q_fscr_kernel,
+        "nogueira_kernel": q_nogueira_kernel,
+        "prequential_ofs": q_prequential_ofs,
+        "multimodal_features": q_multimodal_features,
+        "lsh_ann": q_lsh_ann,
+        "embedding_near_dups": q_embedding_near_dups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_STOPWORDS = (
+    "['a','an','and','are','as','at','be','by','for','from','has','he','in','is','it',"
+    "'its','of','on','that','the','to','was','were','will','with']"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = _STOPWORDS
+    return {
+        "sessionize": f"""
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events)
+            SELECT user_id, event_id,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
+                                 OR floor(epoch(ts)) - floor(epoch(prev_ts)) > {GAP}
+                            THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                        AS BIGINT) AS session_id
+            FROM e
+        """,
+        "count_windows": f"""
+            SELECT user_id, event_id,
+                   CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / {BATCH})
+                        AS BIGINT) AS window_id
+            FROM events
+        """,
+        "lag_lead": """
+            SELECT user_id, event_id,
+                   lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag1,
+                   lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lead1
+            FROM events
+        """,
+        "backfill": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+              FROM events)
+            SELECT user_id, event_id,
+                   last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+            FROM e
+        """,
+        "rolling": """
+            SELECT user_id, event_id,
+                   COUNT(value) OVER w AS v_cnt5,
+                   ROUND(SUM(value) OVER w, 2) AS v_sum5
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "strict_prefix": """
+            SELECT user_id, event_id,
+                   COUNT(value) OVER w AS prior_cnt,
+                   ROUND(SUM(value) OVER w, 2) AS prior_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
+        "asof_join": """
+            SELECT l.user_id, l.event_id, r.value AS signup_value
+            FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_join_broadcast": """
+            SELECT l.user_id, l.event_id, r.value AS signup_value
+            FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "session_stats": f"""
+            WITH e AS (
+              SELECT user_id, event_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                     CAST(SUM(CASE WHEN prev_ts IS NULL
+                                   OR floor(epoch(ts)) - floor(epoch(prev_ts)) > {GAP}
+                              THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                          AS BIGINT) AS session_id
+              FROM e)
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS v_sum,
+                   CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+            FROM s GROUP BY user_id, session_id
+        """,
+        "hourly": """
+            SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+                   event_type,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS v_sum,
+                   MIN(value) AS v_min,
+                   MAX(value) AS v_max
+            FROM events GROUP BY 1, 2
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "nation_revenue": """
+            SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_customers": """
+            WITH per_cust AS (
+              SELECT n_name, c_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name, c_custkey)
+            SELECT n_name, c_custkey, revenue, CAST(rk AS INT) AS rk
+            FROM (SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rk
+                  FROM per_cust)
+            WHERE rk <= 3
+        """,
+        "doc_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CAST(len({_TOKS}) AS INT) AS n_tokens,
+                   CAST(len(list_filter({_TOKS}, t -> list_contains({sw}, t))) AS INT) AS stop_cnt,
+                   length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS punct_cnt,
+                   CAST(length(text) AS DOUBLE) / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS cpt
+            FROM documents
+        """,
+        "doc_quality": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(len(list_filter({_TOKS}, t -> list_contains({sw}, t))) AS DOUBLE)
+                       / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS swr,
+                     CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+                     CAST(length(text) AS DOUBLE) / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS cpt
+              FROM documents)
+            SELECT doc_id,
+                   ROUND(0.4 * least(swr * 4.0, 1.0)
+                       + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+                       + 0.3 * (CASE WHEN cpt >= 3.0 AND cpt <= 12.0 THEN 1.0 ELSE 0.0 END), 6) AS quality,
+                   CASE WHEN swr >= 0.05 THEN 'en' ELSE 'und' END AS lang_guess
+            FROM s
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "minhash_sigs": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh0 AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+                          ELSE [array_to_string(t, ' ')] END AS shingles
+              FROM toks),
+            sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+            b AS (SELECT doc_id, shingle, unnest(range(0, 8)) AS band FROM sh)
+            SELECT doc_id, CAST(band AS BIGINT) AS band,
+                   MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+            FROM b GROUP BY doc_id, band
+        """,
+        "minhash_candidates": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh0 AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+                          ELSE [array_to_string(t, ' ')] END AS shingles
+              FROM toks),
+            sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+            b AS (SELECT doc_id, shingle, unnest(range(0, 8)) AS band FROM sh),
+            sig AS (SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+                    FROM b GROUP BY doc_id, band)
+            SELECT a.doc_id AS id_a, c.doc_id AS id_b, COUNT(*) AS n_shared_bands
+            FROM sig a JOIN sig c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
+            GROUP BY 1, 2
+        """,
+        "ngram_jaccard": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh0 AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+                          ELSE [array_to_string(t, ' ')] END AS shingles
+              FROM toks),
+            sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+        """,
+        "simhash": f"""
+            WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+            v AS (SELECT doc_id,
+                         {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16))}
+                  FROM h GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST({" + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16))} AS BIGINT) AS simhash
+            FROM v
+        """,
+        "embed_topk": """
+            WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+            s AS (SELECT query_id, vec_id,
+                         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+                  FROM q, c WHERE vec_id != query_id),
+            r AS (SELECT query_id, vec_id, cos,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+                  FROM s)
+            SELECT query_id, vec_id, ROUND(cos, 6) AS cos, CAST(rk AS INT) AS rk
+            FROM r WHERE rk <= 5
+        """,
+        "fscr_sql": """
+            WITH e AS (SELECT label, vec_id, unnest(embedding) AS val,
+                              CAST(unnest(range(len(embedding))) AS INT) AS pos
+                       FROM embeddings),
+            ranked AS (SELECT label, vec_id, pos,
+                              row_number() OVER (PARTITION BY vec_id ORDER BY abs(val) DESC, pos DESC) AS rk
+                       FROM e),
+            sel AS (SELECT label, vec_id, list(pos ORDER BY rk) AS selected
+                    FROM ranked WHERE rk <= 5 GROUP BY label, vec_id),
+            lagd AS (SELECT label, vec_id, selected,
+                            lag(selected) OVER (PARTITION BY label ORDER BY vec_id) AS prev
+                     FROM sel)
+            SELECT label, vec_id,
+                   CASE WHEN prev IS NULL THEN NULL
+                        ELSE CAST(len(list_filter(prev, x -> NOT list_contains(selected, x))) AS DOUBLE) / 5.0
+                   END AS fscr
+            FROM lagd
+        """,
+        "nogueira_sql": """
+            WITH e AS (SELECT label, vec_id, unnest(embedding) AS val,
+                              CAST(unnest(range(len(embedding))) AS INT) AS pos
+                       FROM embeddings),
+            ranked AS (SELECT label, vec_id, pos,
+                              row_number() OVER (PARTITION BY vec_id ORDER BY abs(val) DESC, pos DESC) AS rk
+                       FROM e),
+            sel AS (SELECT label, vec_id, pos FROM ranked WHERE rk <= 5),
+            per_entity AS (SELECT label, COUNT(DISTINCT vec_id) AS k_windows FROM sel GROUP BY label),
+            freq AS (SELECT label, pos, COUNT(*) AS cnt FROM sel GROUP BY label, pos),
+            var_sum AS (
+              SELECT f.label,
+                     SUM((CAST(p.k_windows AS DOUBLE) / (p.k_windows - 1))
+                         * (CAST(f.cnt AS DOUBLE) / p.k_windows)
+                         * (1 - CAST(f.cnt AS DOUBLE) / p.k_windows)) AS s2_sum
+              FROM freq f JOIN per_entity p ON f.label = p.label
+              GROUP BY f.label)
+            SELECT p.label, p.k_windows,
+                   ROUND(1.0 - (COALESCE(v.s2_sum, 0) / 64.0) / ((5.0 / 64.0) * (1 - 5.0 / 64.0)), 6) AS stability
+            FROM per_entity p LEFT JOIN var_sum v ON p.label = v.label
+        """,
+    }

@@ -1,0 +1,98 @@
+"""Text-analysis functions for training-data pipelines — all native Spark
+column expressions (JVM-side, whole-stage codegen; no Python UDFs).
+
+Every definition here is deliberately ANSI-SQL-portable so the DuckDB oracle
+can compute the identical value: tokenization is single-space split,
+hashing is md5 (lowercase hex in both engines), ratios are divisions of
+exact integer counts (IEEE-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 25 common English stopwords — fixed, sorted, lowercase
+STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "has", "he", "in", "is", "it", "its", "of", "on", "that", "the",
+    "to", "was", "were", "will", "with",
+]
+
+
+def normalize(text: Column) -> Column:
+    """Lowercase + collapse whitespace runs + trim — the canonical form used
+    by fingerprinting and dedup."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    return F.split(normalize(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def chars_per_token(text: Column) -> Column:
+    return char_count(text).cast("double") / F.greatest(token_count(text), F.lit(1)).cast("double")
+
+
+def stopword_count(text: Column) -> Column:
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    return stopword_count(text).cast("double") / F.greatest(token_count(text), F.lit(1)).cast("double")
+
+
+def punct_count(text: Column) -> Column:
+    # count of non-alphanumeric, non-space characters
+    return F.length(F.regexp_replace(text, r"[A-Za-z0-9 ]", ""))
+
+
+def punct_ratio(text: Column) -> Column:
+    return punct_count(text).cast("double") / F.greatest(char_count(text), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards stopword presence and
+    moderate token length, penalizes punctuation soup. A linear blend of
+    exact integer-ratio terms (portable)."""
+    sw = stopword_ratio(text)
+    pr = punct_ratio(text)
+    cpt = chars_per_token(text)
+    len_ok = F.when((cpt >= 3.0) & (cpt <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = F.lit(0.4) * F.least(sw * 4.0, F.lit(1.0)) + F.lit(0.3) * (1.0 - F.least(pr * 5.0, F.lit(1.0))) + F.lit(0.3) * len_ok
+    return score
+
+
+def lang_id(text: Column) -> Column:
+    """Tiny n-gram-free language heuristic: 'en' when English stopwords hit
+    ≥ 5% of tokens, 'und' otherwise. (Real corpora would swap in a fastText
+    model via a pandas UDF; the Spark-side contract is identical.)"""
+    return F.when(stopword_ratio(text) >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Identical hex in any engine; used as the exact-dedup key."""
+    return F.md5(normalize(text))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Word k-grams of the normalized text (array<string>); the unit for
+    MinHash/Jaccard dedup. Short docs (< k tokens) yield their whole text
+    as the single shingle."""
+    t = tokens(text)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+    )
+    return F.when(n >= k, grams).otherwise(F.array(F.array_join(t, " ")))

