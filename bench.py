@@ -1,0 +1,148 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. The flagship metric is feature-window fold
+throughput (entity×timestamp feature vectors/sec) over a deterministic
+synthetic transcripts table sized to the scale factor (~1.2M turns at sf0.1).
+
+Output: {"metric": "...", "value": <total_sec>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": <sf>,
+         "fold_rows_per_sec": ..., "fold_rows": ...}
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_ONLY (comma-separated
+query subset), BENCH_NCONVS (override transcripts size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    from pystreamfs_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="pystreamfs_spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(32, cpus)))),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+
+    from pystreamfs_spark.fold import fold_weights_stream
+    from pystreamfs_spark.functions import featurize_turns
+    from pystreamfs_spark.operators import fscr, nogueira_stability
+    from pystreamfs_spark.sources.transcripts import synthesize_transcripts
+
+    only_env = os.environ.get("BENCH_ONLY")
+    only = {s.strip() for s in only_env.split(",")} if only_env else None
+    needs_fold = only is None or any(q.startswith(("fold_", "stability", "featurize")) for q in only)
+
+    n_convs = int(os.environ.get("BENCH_NCONVS", str(max(200, int(200_000 * sf)))))
+    n_turns = 0
+    featurized = None
+    transcripts = None
+    if needs_fold:
+        transcripts = synthesize_transcripts(spark, n_convs=n_convs, seed=42)
+        # pre-materialize the featurized input so each fold timing measures
+        # THE FOLD (featurization is its own suite entry below)
+        featurized = featurize_turns(transcripts).cache()
+        n_turns = featurized.count()
+
+    def fold_run(kernel: str, kw: dict) -> int:
+        # featurize_turns' window stage already hash-partitioned by conv_id
+        # and sorted (conv_id, turn_idx, ts); the cache preserves that →
+        # the fold runs shuffle-free
+        out = fold_weights_stream(
+            featurized, kernel=kernel, batch_size=50, num_features=5, kernel_kwargs=kw,
+            assume_partitioned=True,
+        )
+        return out.count()
+
+    def stability_run() -> int:
+        w = fold_weights_stream(featurized, kernel="ofs", batch_size=50, num_features=5)
+        return fscr(w, 5).join(nogueira_stability(w), "conv_id").count()
+
+    def featurize_run() -> int:
+        # fresh featurization (not the cache): forces full column compute
+        out = featurize_turns(transcripts).agg(F.sum(F.element_at("features", 12))).collect()
+        return len(out)
+
+    entry_queries = em.queries()
+    suite: dict[str, callable] = {
+        "featurize": featurize_run,
+        "fold_ofs": lambda: fold_run("ofs", {}),
+        "fold_fsds": lambda: fold_run("fsds", {"k": 2, "ell": 0}),
+        "fold_efs": lambda: fold_run("efs", {}),
+        "stability_pipeline": stability_run,
+        "sessionize": lambda: entry_queries["sessionize"](spark, sf_dir).count(),
+        "session_stats": lambda: entry_queries["session_stats"](spark, sf_dir).count(),
+        "asof_join": lambda: entry_queries["asof_join"](spark, sf_dir).count(),
+        "asof_join_broadcast": lambda: entry_queries["asof_join_broadcast"](spark, sf_dir).count(),
+        "backfill": lambda: entry_queries["backfill"](spark, sf_dir).count(),
+        "strict_prefix": lambda: entry_queries["strict_prefix"](spark, sf_dir).count(),
+        "pricing_summary": lambda: entry_queries["pricing_summary"](spark, sf_dir).count(),
+        "nation_revenue": lambda: entry_queries["nation_revenue"](spark, sf_dir).count(),
+        "dedup_exact": lambda: entry_queries["dedup_exact"](spark, sf_dir).count(),
+        "minhash_candidates": lambda: entry_queries["minhash_candidates"](spark, sf_dir).count(),
+        "ngram_jaccard": lambda: entry_queries["ngram_jaccard"](spark, sf_dir).count(),
+        "simhash": lambda: entry_queries["simhash"](spark, sf_dir).count(),
+        "embed_topk": lambda: entry_queries["embed_topk"](spark, sf_dir).count(),
+        "lsh_ann": lambda: entry_queries["lsh_ann"](spark, sf_dir).count(),
+        "doc_quality": lambda: entry_queries["doc_quality"](spark, sf_dir).count(),
+        "multimodal_features": lambda: entry_queries["multimodal_features"](spark, sf_dir).count(),
+    }
+    if only is not None:
+        suite = {k: v for k, v in suite.items() if k in only}
+
+    # Warm-up: spin up executor Python workers + JIT paths once, outside any
+    # per-query timer (workers are reused afterwards). A cold first query
+    # otherwise absorbs ~5-15s of process startup and skews attribution.
+    if needs_fold:
+        warm = featurize_turns(synthesize_transcripts(spark, n_convs=64, seed=1))
+        fold_weights_stream(warm, kernel="ofs", batch_size=50, num_partitions=max(32, cpus)).count()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    timings: dict[str, float] = {}
+    for name, fn in suite.items():
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    fold_sec = timings.get("fold_ofs")
+    result = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "fold_rows": n_turns,
+        "fold_rows_per_sec": round(n_turns / fold_sec, 1) if fold_sec else None,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

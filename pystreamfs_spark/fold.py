@@ -187,12 +187,19 @@ def fold_weights_stream(
     features_col: str = "features",
     label_col: str = "label",
     ts_col: str = "ts",
+    assume_partitioned: bool = False,
 ) -> DataFrame:
-    """Partition-streaming fold: range-partition by entity, sort within
+    """Partition-streaming fold: hash-partition by entity, sort within
     partitions, then scan Arrow batches carrying kernel state across batch
     and conversation boundaries. Bounded memory per task regardless of
     conversation length (accuracy evaluation, which needs the full prefix,
     is deliberately unsupported here — use :func:`fold_weights`).
+
+    ``assume_partitioned=True`` skips the repartition+sort when the caller
+    guarantees the input is already partitioned by ``entity_col`` and sorted
+    by (entity, *order) within partitions — true for the direct output (or
+    cache) of ``featurize_turns``'s window stage, or a bucketed/sorted table.
+    The fold then runs as a pure map stage: zero shuffles.
     """
     if kernel not in KERNELS:
         raise ValueError(f"unknown kernel {kernel!r}; available: {sorted(KERNELS)}")
@@ -200,93 +207,132 @@ def fold_weights_stream(
     order = list(order_cols)
     cols = list(dict.fromkeys([entity_col, *order, features_col, label_col, ts_col]))
 
-    cols_out = [f.name for f in WEIGHTS_SCHEMA.fields]
+    def scan(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import pyarrow as pa
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cur_conv: str | None = None
+        out_type_w = pa.list_(pa.float64())
+        out_type_sel = pa.list_(pa.int32())
+        ts_type = None  # set from the first input batch (preserves Spark's tz)
+
+        cur_conv = None
         state: Any = None
         wid = 0
-        carry_X: np.ndarray | None = None  # incomplete-window rows carried over
+        carry_X: np.ndarray | None = None
         carry_y: np.ndarray | None = None
-        out_rows: list[tuple] = []
+        carry_last_ts = 0
+        m_holder = [0]
 
-        def run_windows(X: np.ndarray, y: np.ndarray, ts: np.ndarray, final: bool) -> None:
-            """Consume full windows from (carry + X); keep any tail as carry
-            unless ``final`` (conversation is ending → flush partial)."""
-            nonlocal state, wid, carry_X, carry_y
+        # per-output-batch accumulators (plain python lists → arrow arrays)
+        o_conv: list = []
+        o_wid: list[int] = []
+        o_rows: list[int] = []
+        o_ts: list[int] = []
+        o_w: list[np.ndarray] = []
+        o_sel: list[np.ndarray] = []
+        o_elapsed: list[float] = []
+
+        def run_windows(X, y, ts, final):
+            nonlocal state, wid, carry_X, carry_y, carry_last_ts
             if carry_X is not None and len(carry_X):
                 X = np.concatenate([carry_X, X]) if len(X) else carry_X
                 y = np.concatenate([carry_y, y]) if len(y) else carry_y
-                # ts only needed at window ends; pad carried rows with first ts
-                ts = (
-                    np.concatenate([np.repeat(ts[:1], len(carry_X)), ts])
-                    if len(ts)
-                    else np.repeat(_last_ts_holder[0:1], len(carry_X))
-                )
+                ts = np.concatenate([np.full(len(carry_X), carry_last_ts, dtype=np.int64), ts])
                 carry_X = carry_y = None
             n = len(X)
             start = 0
             while n - start >= batch_size or (final and start < n):
                 stop = min(start + batch_size, n)
                 t0 = time.perf_counter()
-                new_state, w = update(kernel, state, X[start:stop], y[start:stop])
-                state = new_state
+                state, w = update(kernel, state, X[start:stop], y[start:stop])
                 selected = select_top_m(w, num_features)
-                out_rows.append(
-                    (
-                        cur_conv,
-                        wid,
-                        stop - start,
-                        ts[stop - 1],
-                        w.tolist(),
-                        [int(j) for j in selected],
-                        None,
-                        0,
-                        time.perf_counter() - t0,
-                        _mem_bytes(),
-                    )
-                )
+                o_conv.append(cur_conv)
+                o_wid.append(wid)
+                o_rows.append(stop - start)
+                o_ts.append(int(ts[stop - 1]))
+                o_w.append(w)
+                o_sel.append(selected)
+                o_elapsed.append(time.perf_counter() - t0)
                 wid += 1
                 start = stop
             if start < n:
                 carry_X, carry_y = X[start:].copy(), y[start:].copy()
-                _last_ts_holder[0] = ts[-1]
+                carry_last_ts = int(ts[-1])
 
-        _last_ts_holder = np.empty(1, dtype="datetime64[us]")
+        def flush_output() -> "pa.RecordBatch":
+            nonlocal o_conv, o_wid, o_rows, o_ts, o_w, o_sel, o_elapsed
+            k = len(o_conv)
+            m = m_holder[0]
+            w_flat = np.concatenate(o_w) if o_w else np.empty(0)
+            sel_flat = np.concatenate(o_sel).astype(np.int32) if o_sel else np.empty(0, np.int32)
+            w_off = np.arange(0, (k + 1) * m, m, dtype=np.int32)
+            sel_off = np.arange(0, (k + 1) * num_features, num_features, dtype=np.int32)
+            mem = _mem_bytes()
+            batch = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_conv, type=pa.string()),
+                    pa.array(o_wid, type=pa.int64()),
+                    pa.array(o_rows, type=pa.int64()),
+                    pa.array(np.asarray(o_ts, dtype=np.int64), type=pa.int64()).cast(ts_type),
+                    pa.ListArray.from_arrays(pa.array(w_off), pa.array(w_flat, type=pa.float64()), type=out_type_w),
+                    pa.ListArray.from_arrays(pa.array(sel_off), pa.array(sel_flat, type=pa.int32()), type=out_type_sel),
+                    pa.nulls(k, pa.float64()),
+                    pa.array(np.zeros(k, dtype=np.int64)),
+                    pa.array(o_elapsed, type=pa.float64()),
+                    pa.array(np.full(k, mem, dtype=np.int64)),
+                ],
+                names=[f.name for f in WEIGHTS_SCHEMA.fields],
+            )
+            o_conv, o_wid, o_rows, o_ts, o_w, o_sel, o_elapsed = [], [], [], [], [], [], []
+            return batch
 
-        for pdf in batches:
-            if not len(pdf):
+        idx = None
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            convs = pdf[entity_col].to_numpy()
-            Xb = np.stack(pdf[features_col].to_numpy()).astype(np.float64, copy=False)
-            yb = pdf[label_col].to_numpy(dtype=np.float64)
-            tsb = pdf[ts_col].to_numpy()
-            # segment the batch at conversation boundaries
+            if idx is None:
+                names = rb.schema.names
+                idx = {c: names.index(c) for c in (entity_col, features_col, label_col, ts_col)}
+                ts_type = rb.schema.field(idx[ts_col]).type
+            convs = rb.column(idx[entity_col]).to_numpy(zero_copy_only=False)
+            feats = rb.column(idx[features_col])
+            vals = feats.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            offs = feats.offsets.to_numpy(zero_copy_only=False)
+            m = int(offs[1] - offs[0])
+            m_holder[0] = m
+            Xb = vals[offs[0] : offs[-1]].reshape(rb.num_rows, m)
+            yb = rb.column(idx[label_col]).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            tsb = rb.column(idx[ts_col]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
             bounds = np.flatnonzero(convs[1:] != convs[:-1]) + 1
-            segs = np.split(np.arange(len(pdf)), bounds)
+            segs = np.split(np.arange(rb.num_rows), bounds)
             for seg in segs:
                 conv = convs[seg[0]]
                 if conv != cur_conv:
                     if cur_conv is not None and carry_X is not None:
-                        run_windows(
-                            np.empty((0, carry_X.shape[1])), np.empty(0), np.empty(0, dtype=tsb.dtype), final=True
-                        )
+                        run_windows(np.empty((0, m)), np.empty(0), np.empty(0, dtype=np.int64), final=True)
                     cur_conv = conv
-                    state = init_state(kernel, Xb.shape[1], num_features=num_features, **kk)
+                    state = init_state(kernel, m, num_features=num_features, **kk)
                     wid = 0
-                run_windows(Xb[seg], yb[seg], tsb[seg], final=False)
-            if out_rows:
-                yield _rows_to_pdf(out_rows)
-                out_rows = []
+                run_windows(Xb[seg[0] : seg[-1] + 1], yb[seg[0] : seg[-1] + 1], tsb[seg[0] : seg[-1] + 1], final=False)
+            if o_conv:
+                yield flush_output()
         if cur_conv is not None and carry_X is not None:
-            run_windows(np.empty((0, carry_X.shape[1])), np.empty(0), np.empty(0, dtype="datetime64[us]"), final=True)
-        if out_rows:
-            yield _rows_to_pdf(out_rows)
+            run_windows(np.empty((0, m_holder[0])), np.empty(0), np.empty(0, dtype=np.int64), final=True)
+        if o_conv:
+            yield flush_output()
 
-    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    prepared = (
-        df.select(*cols)
-        .repartitionByRange(int(parts), entity_col)
-        .sortWithinPartitions(entity_col, *order)
-    )
-    return prepared.mapInPandas(scan, WEIGHTS_SCHEMA)
+    # Hash-partition on the entity (NOT range): no sampling pass, better
+    # balance across many entities, and — crucially — the exchange is
+    # eliminated by Catalyst when the upstream featurization window already
+    # hash-partitioned by the same key. Skewed giant entities are bounded by
+    # the streaming scan's O(batch) memory either way.
+    if assume_partitioned:
+        prepared = df.select(*cols)
+    else:
+        parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        prepared = (
+            df.select(*cols)
+            .repartition(int(parts), entity_col)
+            .sortWithinPartitions(entity_col, *order)
+        )
+    return prepared.mapInArrow(scan, WEIGHTS_SCHEMA)

@@ -49,11 +49,12 @@ def featurize_turns(
         (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).cast("double")
     )
     f10 = f0 / F.greatest(f1, F.lit(1.0))
-    # hashed token-count buckets: filter+size beats explode/groupBy — stays
-    # a single projection, no extra shuffle
+    # hashed token-count buckets: hash each token ONCE into a small int
+    # array, then count per bucket — stays a single projection, no extra
+    # shuffle, and avoids re-hashing the token list per bucket
+    tok_buckets = F.transform(toks, lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), N_HASH_BUCKETS))
     buckets = [
-        F.size(F.filter(toks, lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), N_HASH_BUCKETS) == b)).cast("double")
-        for b in range(N_HASH_BUCKETS)
+        F.size(F.filter(tok_buckets, lambda h: h == b)).cast("double") for b in range(N_HASH_BUCKETS)
     ]
 
     feats = F.array(f0, f1, f2, f3, *onehot, f8, f9, f10, *buckets)

@@ -42,17 +42,27 @@ def cosine_topk(
     return top_k_per_group(scored, [query_id_col], "cos", k, tie_breakers=[id_col])
 
 
+def _plane_coefs(plane: int, dims: int) -> list[float]:
+    """±1 coefficients of hyperplane ``plane``: parity of the first 4 hex
+    chars of md5('p:d'). Computed driver-side (hashlib) — identical to the
+    SQL expression md5(...) % 2, but constant-folded before codegen so the
+    executor sees a flat literal array instead of a 64×4-term tree."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:4], 16) % 2 == 0 else -1.0
+        for d in range(dims)
+    ]
+
+
 def hyperplane_sign(vec_col, plane: int, dims: int):
-    """Sign of ⟨v, h_plane⟩ where h_plane[d] = ±1 from md5('p:d') parity —
-    deterministic, engine-agnostic."""
-    coef = lambda d: F.when(  # noqa: E731
-        F.conv(F.substring(F.md5(F.lit(f"{plane}:{d}")), 1, 4), 16, 10).cast("long") % 2 == 0,
-        F.lit(1.0),
-    ).otherwise(F.lit(-1.0))
-    proj = None
-    for d in range(dims):
-        term = F.element_at(vec_col, d + 1).cast("double") * coef(d)
-        proj = term if proj is None else (proj + term)
+    """Sign bit of ⟨v, h_plane⟩ via one zip_with + fold (flat codegen)."""
+    coefs = F.array(*[F.lit(c) for c in _plane_coefs(plane, dims)])
+    proj = F.aggregate(
+        F.zip_with(vec_col, coefs, lambda x, c: x.cast("double") * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
 
 

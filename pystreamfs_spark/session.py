@@ -46,6 +46,15 @@ def get_spark(
     - Arrow execution for pandas UDFs / applyInPandas (the kernel folds).
     - UTC session timezone so timestamp semantics match the DuckDB oracle.
     """
+    # Pin BLAS/OpenMP to one thread per Python worker: every executor worker
+    # otherwise spawns ncpu spin-waiting BLAS threads (OpenBLAS default),
+    # and 32 workers × 32 threads thrash the box — measured 2.6× slower
+    # folds and *inverse* core scaling. Kernels use tiny vectors; threaded
+    # BLAS buys nothing. Set both in this process (local-mode workers fork
+    # from it) and in executorEnv (real clusters).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     builder = (
@@ -58,9 +67,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,167 @@
+"""Structured Streaming adapter.
+
+The reference's stream is *simulated* (ordered replay of a static matrix,
+pystreamfs.py:59), so bulk/backfill batch execution is the faithful mode
+(SURVEY.md §2.3). This adapter runs the SAME kernels over a live stream:
+
+- :func:`stream_fold` — per-entity ordered kernel fold as a custom stateful
+  operator (``applyInPandasWithState``). State = (pickled kernel state,
+  carried partial-window rows, next window id); identical arithmetic to the
+  batch fold. Exact batch parity holds when rows arrive in turn order
+  (monotone ``turn_idx`` per conversation) — rows older than the fold
+  frontier are counted in ``n_late`` and skipped, mirroring a
+  watermark-dropped late event.
+- :func:`stream_session_stats` — event-time sessionization via
+  ``F.session_window`` + watermark (the streaming twin of
+  operators.sessionize).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Iterable, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pystreamfs_spark.kernels import KERNELS, init_state, select_top_m, update
+
+STREAM_WEIGHTS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("window_id", LongType()),
+        StructField("win_rows", LongType()),
+        StructField("w", ArrayType(DoubleType())),
+        StructField("selected", ArrayType(IntegerType())),
+        StructField("n_late", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("kernel_state", BinaryType()),
+        StructField("carry_x", BinaryType()),
+        StructField("carry_y", BinaryType()),
+        StructField("next_turn", LongType()),
+        StructField("wid", LongType()),
+    ]
+)
+
+
+def stream_fold(
+    stream_df: DataFrame,
+    kernel: str = "ofs",
+    batch_size: int = 50,
+    num_features: int = 5,
+    kernel_kwargs: dict[str, Any] | None = None,
+    entity_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    features_col: str = "features",
+    label_col: str = "label",
+) -> DataFrame:
+    """Streaming per-entity kernel fold. Input: a streaming DataFrame with
+    (entity, turn_idx, features array<double>, label). Output: one row per
+    *completed* window (partial tails stay in state until more rows arrive —
+    a stream has no "end of conversation")."""
+    if kernel not in KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}; available: {sorted(KERNELS)}")
+    kk = dict(kernel_kwargs or {})
+
+    def fn(
+        key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if state.exists:
+            ks_b, cx_b, cy_b, next_turn, wid = state.get
+            kstate = pickle.loads(ks_b)
+            carry_X = pickle.loads(cx_b)
+            carry_y = pickle.loads(cy_b)
+        else:
+            kstate = None
+            carry_X = None
+            carry_y = None
+            next_turn = 0
+            wid = 0
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(turn_col, kind="mergesort")
+        fresh = rows[rows[turn_col] >= next_turn]
+        n_late = len(rows) - len(fresh)
+        out = []
+        if len(fresh):
+            X = np.stack(fresh[features_col].to_numpy()).astype(np.float64, copy=False)
+            y = fresh[label_col].to_numpy(dtype=np.float64)
+            if kstate is None:
+                kstate = init_state(kernel, X.shape[1], num_features=num_features, **kk)
+            if carry_X is not None and len(carry_X):
+                X = np.concatenate([carry_X, X])
+                y = np.concatenate([carry_y, y])
+            next_turn = int(fresh[turn_col].iloc[-1]) + 1
+            start = 0
+            while len(X) - start >= batch_size:
+                stop = start + batch_size
+                kstate, w = update(kernel, kstate, X[start:stop], y[start:stop])
+                sel = select_top_m(w, num_features)
+                out.append((conv_id, wid, batch_size, w.tolist(), [int(j) for j in sel], n_late))
+                n_late = 0
+                wid += 1
+                start = stop
+            carry_X, carry_y = X[start:].copy(), y[start:].copy()
+
+        state.update((pickle.dumps(kstate), pickle.dumps(carry_X), pickle.dumps(carry_y), next_turn, wid))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in STREAM_WEIGHTS_SCHEMA.fields])
+
+    cols = [entity_col, turn_col, features_col, label_col]
+    return (
+        stream_df.select(*cols)
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=STREAM_WEIGHTS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_session_stats(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time sessionization with late-data handling: the streaming twin
+    of operators.sessionize (session_window merges on the gap rule;
+    watermark bounds state)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), F.col(entity_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("v_sum"),
+        )
+        .select(
+            entity_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "v_sum",
+        )
+    )

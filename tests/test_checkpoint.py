@@ -1,0 +1,57 @@
+"""Resume semantics (SURVEY.md §5.6): interrupt after k epochs, resume, and
+require byte-identical outputs vs an uninterrupted run, with no duplicate
+commits in the ledger."""
+
+import numpy as np
+import pytest
+
+from pystreamfs_spark.checkpoint import CheckpointedFold, lineage_rows, metrics_rows
+from pystreamfs_spark.fold import fold_weights
+from pystreamfs_spark.functions.features import featurize_turns
+from pystreamfs_spark.sources.transcripts import synthesize_transcripts
+
+
+def _collect(df):
+    return sorted(
+        ((r.conv_id, r.window_id, tuple(r.w), tuple(r.selected), r.win_rows) for r in df.collect()),
+    )
+
+
+def test_interrupt_resume_identical(spark, tmp_path):
+    f = featurize_turns(synthesize_transcripts(spark, n_convs=14, seed=9)).cache()
+
+    # uninterrupted single-shot reference
+    ref = _collect(fold_weights(f, kernel="ofs", batch_size=11, num_features=5))
+
+    out = str(tmp_path / "ckpt")
+    run = CheckpointedFold(spark, out, n_epochs=4)
+    first = run.run(f, kernel="ofs", batch_size=11, num_features=5, max_epochs_this_run=2)
+    assert len(first) == 2
+    assert run.committed_epochs() == set(first)
+
+    # "crash" here — a new object (fresh process analog) resumes the rest
+    run2 = CheckpointedFold(spark, out, n_epochs=4)
+    second = run2.run(f, kernel="ofs", batch_size=11, num_features=5)
+    assert sorted(first + second) == [0, 1, 2, 3]
+    assert not (set(first) & set(second)), "no epoch committed twice"
+
+    got = _collect(run2.weights().select("conv_id", "window_id", "w", "selected", "win_rows"))
+    assert got == ref
+
+    # idempotent: a third run has nothing to do
+    assert run2.run(f, kernel="ofs", batch_size=11) == []
+
+
+def test_lineage_and_metrics(spark, tmp_path):
+    f = featurize_turns(synthesize_transcripts(spark, n_convs=10, seed=3)).cache()
+    w = fold_weights(f, kernel="ofs", batch_size=10, num_features=5, with_accuracy=True).cache()
+
+    lin = lineage_rows(w).collect()
+    assert sum(r.n_rows for r in lin) == w.count()
+    assert all(r.min_entity <= r.max_entity for r in lin)
+
+    met = metrics_rows(w).first()
+    assert met.n_windows == w.count()
+    accs = [r.acc for r in w.collect()]
+    assert met.acc_avg == pytest.approx(np.mean(accs), rel=1e-12)
+    assert met.acc_q1 <= met.acc_avg <= met.acc_q3 or len(set(accs)) == 1

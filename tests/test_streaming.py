@@ -1,0 +1,95 @@
+"""Streaming adapter: the stateful stream fold must equal the batch fold on
+completed windows, including state carried across micro-batches."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pystreamfs_spark.fold import fold_weights
+from pystreamfs_spark.functions.features import featurize_turns
+from pystreamfs_spark.sources.transcripts import synthesize_transcripts
+from pystreamfs_spark.streaming import stream_fold, stream_session_stats
+
+FEAT_SCHEMA = (
+    "conv_id string, turn_idx int, features array<double>, label double"
+)
+
+
+@pytest.fixture(scope="module")
+def featurized(spark):
+    return featurize_turns(synthesize_transcripts(spark, n_convs=8, seed=17)).cache()
+
+
+def _run_stream(spark, src_dir, ckpt, max_files=None):
+    reader = spark.readStream.schema(FEAT_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    src = reader.parquet(src_dir)
+    out = stream_fold(src, kernel="ofs", batch_size=10, num_features=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"wtab_{int(time.time() * 1000)}")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"select * from {q.name}")
+
+
+def _batch_reference(featurized):
+    # streaming emits only COMPLETED windows (the stream never "ends")
+    return {
+        (r.conv_id, r.window_id): (r.w, list(r.selected))
+        for r in fold_weights(featurized, kernel="ofs", batch_size=10, num_features=5).collect()
+        if r.win_rows == 10
+    }
+
+
+def test_stream_fold_matches_batch_single_batch(spark, featurized, tmp_path):
+    src = str(tmp_path / "src")
+    featurized.select("conv_id", "turn_idx", "features", "label").coalesce(1).write.parquet(src)
+    got = {
+        (r.conv_id, r.window_id): (r.w, list(r.selected))
+        for r in _run_stream(spark, src, str(tmp_path / "ckpt")).collect()
+    }
+    assert got == _batch_reference(featurized)
+
+
+def test_stream_fold_state_across_microbatches(spark, featurized, tmp_path):
+    src = str(tmp_path / "src2")
+    base = featurized.select("conv_id", "turn_idx", "features", "label")
+    # two files split mid-window (turn 25 is inside window 2 of batch=10)
+    base.where(F.col("turn_idx") < 25).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)  # file-source processes by modification time
+    base.where(F.col("turn_idx") >= 25).coalesce(1).write.mode("append").parquet(src)
+    got = {
+        (r.conv_id, r.window_id): (r.w, list(r.selected))
+        for r in _run_stream(spark, src, str(tmp_path / "ckpt2"), max_files=1).collect()
+    }
+    assert got == _batch_reference(featurized)
+
+
+def test_stream_session_stats_runs(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "ev")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    # parquet streaming schema yields TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = stream_session_stats(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_tab")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # append mode emits only watermark-closed sessions; with availableNow the
+    # final watermark closes all but the trailing ones
+    n = spark.sql("select count(*) from sess_tab").first()[0]
+    assert n > 0
