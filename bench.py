@@ -89,6 +89,7 @@ def main() -> None:
         "fold_ofs": lambda: fold_run("ofs", {}),
         "fold_fsds": lambda: fold_run("fsds", {"k": 2, "ell": 0}),
         "fold_efs": lambda: fold_run("efs", {}),
+        "fold_mcnn": lambda: fold_run("mcnn", {}),
         "stability_pipeline": stability_run,
         "sessionize": lambda: entry_queries["sessionize"](spark, sf_dir).count(),
         "session_stats": lambda: entry_queries["session_stats"](spark, sf_dir).count(),

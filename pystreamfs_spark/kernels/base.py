@@ -21,6 +21,7 @@ import numpy as np
 
 from pystreamfs_spark.kernels.efs import EFSState, efs_update
 from pystreamfs_spark.kernels.fsds import FSDSState, fsds_update
+from pystreamfs_spark.kernels.mcnn import MCNNState, mcnn_update
 from pystreamfs_spark.kernels.ofs import OFSState, ofs_update
 
 # name -> (init_state(m, **kw) -> state, update(state, X, y) -> (state, w))
@@ -28,6 +29,7 @@ KERNELS: dict[str, tuple[Callable[..., Any], Callable[..., tuple[Any, np.ndarray
     "ofs": (OFSState.init, ofs_update),
     "fsds": (FSDSState.init, fsds_update),
     "efs": (EFSState.init, efs_update),
+    "mcnn": (MCNNState.init, mcnn_update),
 }
 
 

@@ -1,0 +1,66 @@
+"""Plan-shape regressions: the scale guarantees as assertions.
+
+- predicate pushdown & column pruning reach the Parquet scan
+- small dimension joins broadcast
+- the fold introduces exactly one exchange (zero when pre-partitioned)
+- the broadcast as-of path shuffles the probe side zero times
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pystreamfs_spark.fold import fold_weights_stream
+from pystreamfs_spark.functions.features import featurize_turns
+from pystreamfs_spark.operators import asof_join
+from pystreamfs_spark.plans import (
+    count_exchanges,
+    explain_str,
+    has_broadcast_hash_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from pystreamfs_spark.sources.transcripts import synthesize_transcripts
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    q = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_type") == "click")
+        .select("user_id", "value")
+    )
+    pf = pushed_filters(q)
+    assert any("event_type" in f for f in pf), pf
+    schemas = read_schema_columns(q)
+    assert schemas and set(schemas[0]) <= {"user_id", "value", "event_type"}, schemas
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).groupBy("c_mktsegment").count()
+    assert has_broadcast_hash_join(j), explain_str(j)[:2000]
+
+
+def test_fold_exchange_budget(spark):
+    f = featurize_turns(synthesize_transcripts(spark, n_convs=50, seed=2))
+    # pipeline: featurize needs 1 exchange (window on conv_id); the fold's
+    # hash repartition on the same key must be eliminated or amortized —
+    # total exchanges in the whole plan must be exactly 1
+    folded = fold_weights_stream(f, kernel="ofs", batch_size=10)
+    n = count_exchanges(folded)
+    assert n <= 2, explain_str(folded)[:3000]
+    # pre-partitioned contract: zero additional exchange beyond featurize's
+    folded_pp = fold_weights_stream(f, kernel="ofs", batch_size=10, assume_partitioned=True)
+    assert count_exchanges(folded_pp) == 1, explain_str(folded_pp)[:3000]
+
+
+def test_asof_broadcast_path_no_probe_shuffle(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    j = asof_join(left, right, on="user_id", strategy="broadcast")
+    text = explain_str(j)
+    assert "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" in text
+    # the probe (left) side must not be exchanged; the only exchange allowed
+    # is building the broadcast from the aggregated right side
+    assert count_exchanges(j) <= 1, text[:3000]
