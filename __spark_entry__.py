@@ -261,7 +261,7 @@ def q_minhash_candidates(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     from pystreamfs_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2)
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2, max_df=100)
 
 
 def q_simhash(spark, sf_dir):
@@ -587,10 +587,26 @@ def oracle_sql() -> dict[str, str]:
                           ELSE [array_to_string(t, ' ')] END AS shingles
               FROM toks),
             sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
-            b AS (SELECT doc_id, shingle, unnest(range(0, 8)) AS band FROM sh)
-            SELECT doc_id, CAST(band AS BIGINT) AS band,
-                   MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
-            FROM b GROUP BY doc_id, band
+            h AS (SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) % 1000000007 AS h FROM sh),
+            sig AS (SELECT doc_id,
+                   MIN((769886857 * h + 526584577) % 1000000007) AS s0,
+                   MIN((330267121 * h + 881231311) % 1000000007) AS s1,
+                   MIN((550510817 * h + 135164743) % 1000000007) AS s2,
+                   MIN((910286881 * h + 978055981) % 1000000007) AS s3,
+                   MIN((232492867 * h + 375134737) % 1000000007) AS s4,
+                   MIN((676943009 * h + 655087259) % 1000000007) AS s5,
+                   MIN((487110253 * h + 319336289) % 1000000007) AS s6,
+                   MIN((133303867 * h + 764499131) % 1000000007) AS s7
+                   FROM h GROUP BY doc_id),
+            bands AS (SELECT doc_id, CAST(0 AS BIGINT) AS band, s0 AS sig FROM sig
+            UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS band, s1 AS sig FROM sig
+            UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS band, s2 AS sig FROM sig
+            UNION ALL SELECT doc_id, CAST(3 AS BIGINT) AS band, s3 AS sig FROM sig
+            UNION ALL SELECT doc_id, CAST(4 AS BIGINT) AS band, s4 AS sig FROM sig
+            UNION ALL SELECT doc_id, CAST(5 AS BIGINT) AS band, s5 AS sig FROM sig
+            UNION ALL SELECT doc_id, CAST(6 AS BIGINT) AS band, s6 AS sig FROM sig
+            UNION ALL SELECT doc_id, CAST(7 AS BIGINT) AS band, s7 AS sig FROM sig)
+            SELECT doc_id, band, sig FROM bands
         """,
         "minhash_candidates": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -601,11 +617,27 @@ def oracle_sql() -> dict[str, str]:
                           ELSE [array_to_string(t, ' ')] END AS shingles
               FROM toks),
             sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
-            b AS (SELECT doc_id, shingle, unnest(range(0, 8)) AS band FROM sh),
-            sig AS (SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
-                    FROM b GROUP BY doc_id, band)
+            h AS (SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) % 1000000007 AS h FROM sh),
+            sig AS (SELECT doc_id,
+                   MIN((769886857 * h + 526584577) % 1000000007) AS s0,
+                   MIN((330267121 * h + 881231311) % 1000000007) AS s1,
+                   MIN((550510817 * h + 135164743) % 1000000007) AS s2,
+                   MIN((910286881 * h + 978055981) % 1000000007) AS s3,
+                   MIN((232492867 * h + 375134737) % 1000000007) AS s4,
+                   MIN((676943009 * h + 655087259) % 1000000007) AS s5,
+                   MIN((487110253 * h + 319336289) % 1000000007) AS s6,
+                   MIN((133303867 * h + 764499131) % 1000000007) AS s7
+                   FROM h GROUP BY doc_id),
+            bands AS (SELECT doc_id, CAST(0 AS BIGINT) AS band, s0 AS sig FROM sig
+            UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS band, s1 AS sig FROM sig
+            UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS band, s2 AS sig FROM sig
+            UNION ALL SELECT doc_id, CAST(3 AS BIGINT) AS band, s3 AS sig FROM sig
+            UNION ALL SELECT doc_id, CAST(4 AS BIGINT) AS band, s4 AS sig FROM sig
+            UNION ALL SELECT doc_id, CAST(5 AS BIGINT) AS band, s5 AS sig FROM sig
+            UNION ALL SELECT doc_id, CAST(6 AS BIGINT) AS band, s6 AS sig FROM sig
+            UNION ALL SELECT doc_id, CAST(7 AS BIGINT) AS band, s7 AS sig FROM sig)
             SELECT a.doc_id AS id_a, c.doc_id AS id_b, COUNT(*) AS n_shared_bands
-            FROM sig a JOIN sig c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
+            FROM bands a JOIN bands c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
             GROUP BY 1, 2
         """,
         "ngram_jaccard": f"""
@@ -616,7 +648,9 @@ def oracle_sql() -> dict[str, str]:
                           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
                           ELSE [array_to_string(t, ' ')] END AS shingles
               FROM toks),
-            sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+            sh_all AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+            rare AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY 1) WHERE df <= 100),
+            sh AS (SELECT sh_all.doc_id, sh_all.shingle FROM sh_all JOIN rare USING (shingle)),
             sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter

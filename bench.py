@@ -64,12 +64,17 @@ def main() -> None:
         featurized = featurize_turns(transcripts).cache()
         n_turns = featurized.count()
 
-    def fold_run(kernel: str, kw: dict) -> int:
+    def fold_run(kernel: str, kw: dict, sample_mod: int = 1) -> int:
         # featurize_turns' window stage already hash-partitioned by conv_id
         # and sorted (conv_id, turn_idx, ts); the cache preserves that →
-        # the fold runs shuffle-free
+        # the fold runs shuffle-free. sample_mod subsets entire convs (MCNN
+        # refits an MI estimator per window — ~10× the cost of OFS, like
+        # the reference — so it benches on a 1/16 slice).
+        src = featurized
+        if sample_mod > 1:
+            src = featurized.where(F.pmod(F.xxhash64("conv_id"), F.lit(sample_mod)) == 0)
         out = fold_weights_stream(
-            featurized, kernel=kernel, batch_size=50, num_features=5, kernel_kwargs=kw,
+            src, kernel=kernel, batch_size=50, num_features=5, kernel_kwargs=kw,
             assume_partitioned=True,
         )
         return out.count()
@@ -89,7 +94,7 @@ def main() -> None:
         "fold_ofs": lambda: fold_run("ofs", {}),
         "fold_fsds": lambda: fold_run("fsds", {"k": 2, "ell": 0}),
         "fold_efs": lambda: fold_run("efs", {}),
-        "fold_mcnn": lambda: fold_run("mcnn", {}),
+        "fold_mcnn": lambda: fold_run("mcnn", {}, sample_mod=16),
         "stability_pipeline": stability_run,
         "sessionize": lambda: entry_queries["sessionize"](spark, sf_dir).count(),
         "session_stats": lambda: entry_queries["session_stats"](spark, sf_dir).count(),

@@ -60,3 +60,29 @@ def featurize_turns(
     feats = F.array(f0, f1, f2, f3, *onehot, f8, f9, f10, *buckets)
     label = F.when(F.col("role") == "assistant", 1.0).otherwise(0.0)
     return df.withColumn("features", feats).withColumn("label", label)
+
+
+def prepare_data(
+    df: DataFrame,
+    target_col: str,
+    feature_cols: list[str] | None = None,
+    shuffle: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Reference API parity shim (prepare_data, /root/reference/pystreamfs/
+    pystreamfs.py:10-26): split the target column from the features of a
+    dense numeric table, optionally shuffling row order.
+
+    Differences by design: the shuffle is SEEDED (the reference's in-place
+    ``np.random.shuffle`` is unseeded → non-reproducible; every shipped
+    example passes shuffle=False), and the output keeps named columns
+    (``features array<double>``, ``label``) instead of positional matrices.
+    """
+    feature_cols = feature_cols or [c for c in df.columns if c != target_col]
+    out = df.select(
+        F.array(*[F.col(c).cast("double") for c in feature_cols]).alias("features"),
+        F.col(target_col).cast("double").alias("label"),
+    )
+    if shuffle:
+        out = out.orderBy(F.rand(seed))
+    return out

@@ -85,14 +85,24 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize(text))
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Word k-grams of the normalized text (array<string>); the unit for
-    MinHash/Jaccard dedup. Short docs (< k tokens) yield their whole text
-    as the single shingle."""
-    t = tokens(text)
+def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """Word k-grams from an ALREADY-MATERIALIZED token-array column.
+
+    Callers must bind the token array to a real column first
+    (``df.withColumn("t", tokens(text))``): Spark re-evaluates expression
+    *trees* per reference, so passing ``tokens(text)`` directly would rerun
+    the regex+split once per element_at inside the lambda — measured 15s vs
+    <1s on 5k docs. Short docs (< k tokens) yield one whole-text shingle."""
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
     )
     return F.when(n >= k, grams).otherwise(F.array(F.array_join(t, " ")))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Word k-grams of the normalized text — convenience wrapper; prefer
+    materializing :func:`tokens` into a column and using
+    :func:`shingles_from_tokens` in anything performance-sensitive."""
+    return shingles_from_tokens(tokens(text), k)

@@ -84,6 +84,16 @@ class MCNNState:
     p_diff_threshold: float = 50.0
     window: Any = None
     clusters: dict = field(default_factory=dict)
+    # vectorized mirrors of the per-cluster fields the inner loop reads —
+    # row i corresponds to keys[i]; rows stay ordered by creation (ascending
+    # key), so argmin/argmax tie-breaks equal the reference's dict-iteration
+    # ("first created wins") semantics
+    keys: Any = None  # int64[K]
+    cent: Any = None  # float64[K, m]
+    var: Any = None  # float64[K, m]
+    avg_t: Any = None  # float64[K]
+    fpr_arr: Any = None  # int64[K]
+    label_arr: Any = None  # float64[K]
 
     @classmethod
     def init(
@@ -122,7 +132,64 @@ class _TimeWindow:
         self.selected_ftr = np.ones(m)
 
 
-def _add_instance(c, c_key, x, y, window, dist_sums, clusters, e_threshold):
+class _Index:
+    """Vectorized mirror of per-cluster scan fields (see MCNNState docs)."""
+
+    def __init__(self, m: int, state: MCNNState):
+        if state.keys is None:
+            self.keys = np.empty(0, dtype=np.int64)
+            self.cent = np.empty((0, m))
+            self.var = np.empty((0, m))
+            self.avg_t = np.empty(0)
+            self.fpr = np.empty(0, dtype=np.int64)
+            self.label = np.empty(0)
+        else:
+            self.keys = state.keys
+            self.cent = state.cent
+            self.var = state.var
+            self.avg_t = state.avg_t
+            self.fpr = state.fpr_arr
+            self.label = state.label_arr
+
+    def add(self, key: int, c: MicroClusterState) -> None:
+        self.keys = np.append(self.keys, key)
+        self.cent = np.vstack([self.cent, c.centroid])
+        self.var = np.vstack([self.var, c.variance])
+        self.avg_t = np.append(self.avg_t, np.sum(c.t) / c.n)
+        self.fpr = np.append(self.fpr, c.fpr)
+        self.label = np.append(self.label, float(c.label))
+
+    def row_of(self, key: int) -> int:
+        return int(np.searchsorted(self.keys, key))  # keys stay sorted asc
+
+    def refresh(self, key: int, c: MicroClusterState) -> None:
+        i = self.row_of(key)
+        self.cent[i] = c.centroid
+        self.var[i] = c.variance
+        self.avg_t[i] = np.sum(c.t) / c.n
+        self.fpr[i] = c.fpr
+        self.label[i] = float(c.label)
+
+    def remove(self, key: int) -> None:
+        i = self.row_of(key)
+        self.keys = np.delete(self.keys, i)
+        self.cent = np.delete(self.cent, i, axis=0)
+        self.var = np.delete(self.var, i, axis=0)
+        self.avg_t = np.delete(self.avg_t, i)
+        self.fpr = np.delete(self.fpr, i)
+        self.label = np.delete(self.label, i)
+
+    def save(self, state: MCNNState) -> None:
+        state.keys = self.keys
+        state.cent = self.cent
+        state.var = self.var
+        state.avg_t = self.avg_t
+        state.fpr_arr = self.fpr
+        state.label_arr = self.label
+
+
+def _add_instance(c, c_key, x, y, window, dists, idx, clusters):
+    """dists: L1 distance of x to every cluster row (idx order)."""
     c.instances = np.append(c.instances, [x], axis=0)
     c.t = np.append(c.t, window.t)
     c.instance_labels = np.append(c.instance_labels, int(y))
@@ -134,32 +201,43 @@ def _add_instance(c, c_key, x, y, window, dist_sums, clusters, e_threshold):
         c.e += 1
         if y == 1:
             c.fpr += 1
-        dist_sums.pop(c_key, None)
-        for i in sorted(dist_sums, key=dist_sums.get):
-            if clusters[i].label == y:
-                clusters[i].e += 1
-                break
+        # propagate the error to the nearest cluster whose label == y
+        # (reference: sorted(dist_sums) scan, mcnn.py:298-301) — vectorized:
+        # masked argmin; ties resolve to the lowest row = earliest created,
+        # matching the stable sort + insertion-order dict iteration
+        mask = (idx.label == y) & (idx.keys != c_key)
+        if mask.any():
+            masked = np.where(mask, dists, np.inf)
+            idx_other = int(np.argmin(masked))
+            clusters[idx.keys[idx_other]].e += 1
     if c.e > c.e_threshold:
         # split: children seeded at the parent's quartile centroids
         new_c1 = MicroClusterState(window.t, c.q1, c.label, c.max_n, c.e_threshold)
         new_c2 = MicroClusterState(window.t, c.q3, c.label, c.max_n, c.e_threshold)
         window.splits += 1
         clusters[window.cluster_idx] = new_c1
+        idx.add(window.cluster_idx, new_c1)
         window.cluster_idx += 1
         clusters[window.cluster_idx] = new_c2
+        idx.add(window.cluster_idx, new_c2)
         window.cluster_idx += 1
         clusters.pop(c_key, None)
+        idx.remove(c_key)
     else:
         c.refresh_stats()
         clusters[c_key] = c
+        idx.refresh(c_key, c)
     return clusters
 
 
-def _remove_stalest(clusters, window):
-    t_diff = {key: window.t - np.sum(c.t) / c.n for key, c in clusters.items()}
-    stalest = max(t_diff, key=t_diff.get)
-    if clusters[stalest].fpr:
-        clusters.pop(stalest, None)
+def _remove_stalest(clusters, window, idx):
+    # stalest = max(window.t - avg_t) = min(avg_t); ties → lowest row,
+    # matching the reference's max() first-encountered semantics
+    i = int(np.argmin(idx.avg_t))
+    if idx.fpr[i]:
+        key = int(idx.keys[i])
+        clusters.pop(key, None)
+        idx.remove(key)
         window.deaths += 1
     return clusters, window
 
@@ -184,29 +262,33 @@ def mcnn_update(state: MCNNState, X: np.ndarray, y: np.ndarray) -> tuple[MCNNSta
     window.split_rate = 0.0
     window.death_rate = 0.0
 
+    idx = _Index(state.m, state)
+
+    def new_cluster(xi, yi):
+        c = MicroClusterState(window.t, xi, yi, state.max_n, state.e_threshold)
+        clusters[window.cluster_idx] = c
+        idx.add(window.cluster_idx, c)
+        window.cluster_idx += 1
+
     for xi, yi in zip(X, y):
         if clusters:
-            dist_sums = {key: float(np.sum(np.abs(c.centroid - xi))) for key, c in clusters.items()}
-            min_key = min(dist_sums, key=dist_sums.get)
+            # one vectorized L1 scan over all centroids (reference does a
+            # per-cluster python loop, mcnn.py:52-56); argmin tie-break =
+            # lowest row = earliest created, as in the reference's dict min
+            dists = np.abs(idx.cent - xi).sum(axis=1)
+            i_min = int(np.argmin(dists))
+            min_key = int(idx.keys[i_min])
             min_c = clusters[min_key]
             min_dist = np.abs(min_c.centroid - xi)
             out_of_boundary = np.sum(min_dist > min_c.variance) / len(min_dist)
             if out_of_boundary > state.max_out_of_var_bound:
-                clusters[window.cluster_idx] = MicroClusterState(
-                    window.t, xi, yi, state.max_n, state.e_threshold
-                )
-                window.cluster_idx += 1
+                new_cluster(xi, yi)
             else:
-                clusters = _add_instance(
-                    min_c, min_key, xi, yi, window, dist_sums, clusters, state.e_threshold
-                )
+                clusters = _add_instance(min_c, min_key, xi, yi, window, dists, idx, clusters)
         else:
-            clusters[window.cluster_idx] = MicroClusterState(
-                window.t, xi, yi, state.max_n, state.e_threshold
-            )
-            window.cluster_idx += 1
+            new_cluster(xi, yi)
         if len(clusters) > 1:
-            clusters, window = _remove_stalest(clusters, window)
+            clusters, window = _remove_stalest(clusters, window, idx)
 
     for c in clusters.values():
         c.velocity = np.abs(c.f_val / c.n - (c.f_val_h / c.n_h if c.n_h else np.zeros(state.m)))
@@ -254,4 +336,5 @@ def mcnn_update(state: MCNNState, X: np.ndarray, y: np.ndarray) -> tuple[MCNNSta
 
     state.window = window
     state.clusters = clusters
+    idx.save(state)
     return state, window.selected_ftr.copy()

@@ -45,10 +45,30 @@ def exact_dedup(
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, shingle) inverted index — distinct shingles per doc."""
-    return df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle")
+    """(id, shingle) inverted index — distinct shingles per doc. Tokens are
+    materialized into a column first so the normalize+split runs once per
+    row, not once per element_at inside the shingle lambda."""
+    from pystreamfs_spark.functions.text import shingles_from_tokens, tokens
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    return toks.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("__t"), k))).alias("shingle"),
     )
+
+
+# MinHash band mixers: sig_b = min over shingles of (A[b]·(h % P) + C[b]) % P
+# where h = first 8 hex chars of md5(shingle) as an integer. One md5 per
+# shingle (not per band); the per-band mix is two int64 ops — and every step
+# is plain integer SQL, so DuckDB computes the identical signature.
+# A[b]·(P−1) ≤ 2^30·2^30 < 2^63: no int64 overflow (ANSI-safe).
+MINHASH_P = 1_000_000_007
+MINHASH_A = [769886857, 330267121, 550510817, 910286881, 232492867, 676943009, 487110253, 133303867]
+MINHASH_C = [526584577, 881231311, 135164743, 978055981, 375134737, 655087259, 319336289, 764499131]
+
+
+def _shingle_hash(col) -> "F.Column":
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % MINHASH_P
 
 
 def minhash_signatures(
@@ -58,14 +78,26 @@ def minhash_signatures(
     n_bands: int = 8,
     k: int = 3,
 ) -> DataFrame:
-    """One min-hash per band b: min over shingles of md5(b || ':' || shingle).
-    (Bands of size r=1 → candidate = any shared band value; portable because
-    the min of hex strings is the min of the hash.) Output: (id, band, sig)."""
-    sh = shingle_table(df, text_col, id_col, k)
-    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
-    expanded = sh.select(id_col, "shingle", bands)
-    return expanded.groupBy(id_col, "band").agg(
-        F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle")))).alias("sig")
+    """One min-hash per band b over the shingle set (bands of size r=1 →
+    candidate = any shared band value). Output: (id, band, sig)."""
+    if n_bands > len(MINHASH_A):
+        raise ValueError(f"n_bands > {len(MINHASH_A)} needs more mixer constants")
+    sh = shingle_table(df, text_col, id_col, k).select(
+        id_col, _shingle_hash(F.col("shingle")).alias("h")
+    )
+    sigs = [
+        F.min((F.lit(MINHASH_A[b]) * F.col("h") + F.lit(MINHASH_C[b])) % MINHASH_P).alias(f"s{b}")
+        for b in range(n_bands)
+    ]
+    per_doc = sh.groupBy(id_col).agg(*sigs)
+    bands = F.explode(
+        F.arrays_zip(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)).alias("band"),
+            F.array(*[F.col(f"s{b}") for b in range(n_bands)]).alias("sig"),
+        )
+    ).alias("z")
+    return per_doc.select(id_col, bands).select(
+        id_col, F.col("z.band").cast("long").alias("band"), F.col("z.sig").alias("sig")
     )
 
 
@@ -95,11 +127,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word-k-gram sets for pairs sharing ≥ 1 shingle.
     jaccard = |∩| / (|A| + |B| − |∩|) — a ratio of exact integers, so the
-    value is bit-identical across engines. Output: (id_a, id_b, jaccard)."""
+    value is bit-identical across engines. Output: (id_a, id_b, jaccard).
+
+    ``max_df`` (scale knob): drop shingles occurring in more than max_df
+    docs before pairing — the standard stop-shingle cut that bounds the
+    inverted-index join's worst key (a shingle in d docs contributes d²/2
+    pairs). Jaccard is then over the sub-max_df shingle sets; pairs whose
+    every shared shingle is ultra-frequent are not reported."""
     sh = shingle_table(df, text_col, id_col, k)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.select(F.col(id_col).alias("id_a"), "shingle")
