@@ -35,10 +35,15 @@ def main() -> None:
 
     from pystreamfs_spark.session import get_spark
 
+    # GC threads default to the MACHINE's core count; under a CPU pin that
+    # thrashes (32 GC threads on 8 pinned cores) — size them to the level
+    gc_threads = os.environ.get("SPARK_GC_THREADS", str(max(4, cpus // 2)))
+    jopts = f"-XX:ParallelGCThreads={gc_threads} -XX:ConcGCThreads={max(1, int(gc_threads) // 4)}"
     spark = get_spark(
         app_name="pystreamfs_spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(32, cpus)))),
+        extra_conf={"spark.driver.extraJavaOptions": jopts},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -60,8 +65,14 @@ def main() -> None:
     if needs_fold:
         transcripts = synthesize_transcripts(spark, n_convs=n_convs, seed=42)
         # pre-materialize the featurized input so each fold timing measures
-        # THE FOLD (featurization is its own suite entry below)
-        featurized = featurize_turns(transcripts).cache()
+        # THE FOLD (featurization is its own suite entry below); project to
+        # the fold's columns BEFORE caching — keeping text in the cache
+        # triples its footprint and starves 32 concurrent readers
+        featurized = (
+            featurize_turns(transcripts)
+            .select("conv_id", "turn_idx", "ts", "features", "label")
+            .cache()
+        )
         n_turns = featurized.count()
 
     def fold_run(kernel: str, kw: dict, sample_mod: int = 1) -> int:
@@ -122,6 +133,11 @@ def main() -> None:
     if needs_fold:
         warm = featurize_turns(synthesize_transcripts(spark, n_convs=64, seed=1))
         fold_weights_stream(warm, kernel="ofs", batch_size=50, num_partitions=max(32, cpus)).count()
+        # first full read of the featurized cache decompresses the feature
+        # columns (count() alone doesn't) — do it once untimed so the first
+        # timed fold measures the fold, not cache decompression
+        if "fold_ofs" in suite or "fold_fsds" in suite or "fold_efs" in suite or "fold_mcnn" in suite:
+            fold_run("efs", {})
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     repeat = int(os.environ.get("BENCH_REPEAT", "1"))

@@ -33,7 +33,7 @@ def run_level(cpus: int, n_convs: int) -> dict:
         {
             "SPARK_GRAFT_CPUS": str(cpus),
             "BENCH_ONLY": "fold_ofs",
-            "BENCH_REPEAT": "3",
+            "BENCH_REPEAT": os.environ.get("BENCH_REPEAT", "5"),
             "SPARK_GRAFT_SHUFFLE_PARTITIONS": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"),
             "BENCH_NCONVS": str(n_convs),
             "SPARK_GRAFT_SF_DIR": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
@@ -49,23 +49,26 @@ def run_level(cpus: int, n_convs: int) -> dict:
 
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    r8 = run_level(8, n_convs)
-    r32 = run_level(32, n_convs)
-    t8, t32 = r8["queries"]["fold_ofs"], r32["queries"]["fold_ofs"]
-    rows = r8["fold_rows"]
-    thr8, thr32 = rows / t8, rows / t32
-    eff = thr32 / (4 * thr8)
+    n_cores = int(os.environ.get("SCALING_N_CORES", "8"))  # levels: N and 4N
+    r_n = run_level(n_cores, n_convs)
+    r_4n = run_level(4 * n_cores, n_convs)
+    t_n, t_4n = r_n["queries"]["fold_ofs"], r_4n["queries"]["fold_ofs"]
+    rows = r_n["fold_rows"]
+    thr_n, thr_4n = rows / t_n, rows / t_4n
+    eff = thr_4n / (4 * thr_n)
     result = {
         "job": "fold_ofs (feature-window fold, batch=50, m=16)",
         "rows": rows,
-        "local8_sec": t8,
-        "local32_sec": t32,
-        "local8_rows_per_sec": round(thr8, 1),
-        "local32_rows_per_sec": round(thr32, 1),
+        "n_cores": n_cores,
+        f"local{n_cores}_sec": t_n,
+        f"local{4 * n_cores}_sec": t_4n,
+        f"local{n_cores}_rows_per_sec": round(thr_n, 1),
+        f"local{4 * n_cores}_rows_per_sec": round(thr_4n, 1),
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"), "w") as f:
+    out_name = "BENCH_SCALING.json" if n_cores == 8 else f"BENCH_SCALING_{n_cores}to{4 * n_cores}.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
