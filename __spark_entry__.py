@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsds_weights": _fold_query("fsds", {"k": 2, "ell": 0}),
         "efs_weights": _fold_query("efs", {}),
         "mcnn_weights": _fold_query("mcnn", {}),
+        "cancelout_weights": _fold_query("cancelout", {}),
         "fscr_kernel": q_fscr_kernel,
         "nogueira_kernel": q_nogueira_kernel,
         "prequential_ofs": q_prequential_ofs,

@@ -19,6 +19,7 @@ from typing import Any, Callable
 
 import numpy as np
 
+from pystreamfs_spark.kernels.cancelout import CancelOutState, cancelout_update
 from pystreamfs_spark.kernels.efs import EFSState, efs_update
 from pystreamfs_spark.kernels.fsds import FSDSState, fsds_update
 from pystreamfs_spark.kernels.mcnn import MCNNState, mcnn_update
@@ -30,6 +31,7 @@ KERNELS: dict[str, tuple[Callable[..., Any], Callable[..., tuple[Any, np.ndarray
     "fsds": (FSDSState.init, fsds_update),
     "efs": (EFSState.init, efs_update),
     "mcnn": (MCNNState.init, mcnn_update),
+    "cancelout": (CancelOutState.init, cancelout_update),
 }
 
 

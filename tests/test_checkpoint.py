@@ -55,3 +55,18 @@ def test_lineage_and_metrics(spark, tmp_path):
     accs = [r.acc for r in w.collect()]
     assert met.acc_avg == pytest.approx(np.mean(accs), rel=1e-12)
     assert met.acc_q1 <= met.acc_avg <= met.acc_q3 or len(set(accs)) == 1
+
+
+def test_plot_series_and_run_summary(spark):
+    from pystreamfs_spark.metrics import plot_series, run_summary
+
+    f = featurize_turns(synthesize_transcripts(spark, n_convs=6, seed=4)).cache()
+    w = fold_weights(f, kernel="ofs", batch_size=10, num_features=5, with_accuracy=True).cache()
+    series = plot_series(w, 5).collect()
+    assert len(series) == w.count()
+    assert all(0 <= r.acc_pct <= 100 for r in series)
+    assert all(r.time_ms >= 0 for r in series)
+    summ = run_summary(w, 5).first()
+    assert summ.n_windows == w.count()
+    assert summ.acc_q1_pct <= summ.acc_avg_pct + 1e-9
+    assert summ.acc_q3_pct >= summ.acc_avg_pct - 1e-9 or summ.acc_q1_pct == summ.acc_q3_pct
