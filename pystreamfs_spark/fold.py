@@ -207,6 +207,8 @@ def fold_weights_stream(
     order = list(order_cols)
     cols = list(dict.fromkeys([entity_col, *order, features_col, label_col, ts_col]))
 
+    _TS_NULL = -(2**63)  # int64 min == Arrow NaT
+
     def scan(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         import pyarrow as pa
 
@@ -261,18 +263,23 @@ def fold_weights_stream(
         def flush_output() -> "pa.RecordBatch":
             nonlocal o_conv, o_wid, o_rows, o_ts, o_w, o_sel, o_elapsed
             k = len(o_conv)
-            m = m_holder[0]
             w_flat = np.concatenate(o_w) if o_w else np.empty(0)
             sel_flat = np.concatenate(o_sel).astype(np.int32) if o_sel else np.empty(0, np.int32)
-            w_off = np.arange(0, (k + 1) * m, m, dtype=np.int32)
-            sel_off = np.arange(0, (k + 1) * num_features, num_features, dtype=np.int32)
+            # offsets from ACTUAL lengths (a selection is min(num_features, m)
+            # entries; m may differ across entities in exotic inputs)
+            w_off = np.zeros(k + 1, dtype=np.int32)
+            np.cumsum([len(v) for v in o_w], out=w_off[1:])
+            sel_off = np.zeros(k + 1, dtype=np.int32)
+            np.cumsum([len(v) for v in o_sel], out=sel_off[1:])
             mem = _mem_bytes()
             batch = pa.RecordBatch.from_arrays(
                 [
                     pa.array(o_conv, type=pa.string()),
                     pa.array(o_wid, type=pa.int64()),
                     pa.array(o_rows, type=pa.int64()),
-                    pa.array(np.asarray(o_ts, dtype=np.int64), type=pa.int64()).cast(ts_type),
+                    pa.array(
+                        [None if v == _TS_NULL else v for v in o_ts], type=pa.int64()
+                    ).cast(ts_type),
                     pa.ListArray.from_arrays(pa.array(w_off), pa.array(w_flat, type=pa.float64()), type=out_type_w),
                     pa.ListArray.from_arrays(pa.array(sel_off), pa.array(sel_flat, type=pa.int32()), type=out_type_sel),
                     pa.nulls(k, pa.float64()),
@@ -301,7 +308,11 @@ def fold_weights_stream(
             m_holder[0] = m
             Xb = vals[offs[0] : offs[-1]].reshape(rb.num_rows, m)
             yb = rb.column(idx[label_col]).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-            tsb = rb.column(idx[ts_col]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ts_arrow = rb.column(idx[ts_col]).cast(pa.int64())
+            if ts_arrow.null_count:
+                # null timestamps → int64 min sentinel; emitted back as null
+                ts_arrow = ts_arrow.fill_null(_TS_NULL)
+            tsb = ts_arrow.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
             bounds = np.flatnonzero(convs[1:] != convs[:-1]) + 1
             segs = np.split(np.arange(rb.num_rows), bounds)

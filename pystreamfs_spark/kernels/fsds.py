@@ -41,6 +41,15 @@ class FSDSState:
     @classmethod
     def init(cls, m: int, k: int = 2, ell: int = 0, num_features: int = 5) -> "FSDSState":
         del num_features  # selection count applies downstream, not in-kernel
+        resolved_ell = ell if ell >= 1 else int(np.sqrt(m))
+        if resolved_ell < k:
+            # the reference crashes with an opaque IndexError here
+            # (fsds.py:60 s[k-1] after truncation to ell values); make the
+            # configuration contract explicit instead
+            raise ValueError(
+                f"FSDS needs sketch size ell >= k: got ell={resolved_ell} "
+                f"(from m={m}) and k={k}; pass a larger ell or smaller k"
+            )
         return cls(B=None, ell=ell, k=k, m=m)
 
 
