@@ -94,6 +94,15 @@ def main() -> None:
         w = fold_weights_stream(featurized, kernel="ofs", batch_size=50, num_features=5)
         return fscr(w, 5).join(nogueira_stability(w), "conv_id").count()
 
+    def minhash_scale_run() -> int:
+        # dedup at transcript scale: every turn's text as a document,
+        # r=2 bands + bucket cap (the 100TB configuration; r=1 on this
+        # low-diversity corpus explodes to billions of candidate pairs)
+        from pystreamfs_spark.operators.dedup import minhash_lsh_candidates
+
+        docs = transcripts.select(F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text")
+        return minhash_lsh_candidates(docs, n_bands=8, k=3, band_r=2, max_bucket_size=200).count()
+
     def featurize_run() -> int:
         # fresh featurization (not the cache): forces full column compute
         out = featurize_turns(transcripts).agg(F.sum(F.element_at("features", 12))).collect()
@@ -117,6 +126,7 @@ def main() -> None:
         "nation_revenue": lambda: entry_queries["nation_revenue"](spark, sf_dir).count(),
         "dedup_exact": lambda: entry_queries["dedup_exact"](spark, sf_dir).count(),
         "minhash_candidates": lambda: entry_queries["minhash_candidates"](spark, sf_dir).count(),
+        "minhash_scale": lambda: minhash_scale_run(),
         "ngram_jaccard": lambda: entry_queries["ngram_jaccard"](spark, sf_dir).count(),
         "simhash": lambda: entry_queries["simhash"](spark, sf_dir).count(),
         "embed_topk": lambda: entry_queries["embed_topk"](spark, sf_dir).count(),

@@ -63,8 +63,14 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # is plain integer SQL, so DuckDB computes the identical signature.
 # A[b]·(P−1) ≤ 2^30·2^30 < 2^63: no int64 overflow (ANSI-safe).
 MINHASH_P = 1_000_000_007
-MINHASH_A = [769886857, 330267121, 550510817, 910286881, 232492867, 676943009, 487110253, 133303867]
-MINHASH_C = [526584577, 881231311, 135164743, 978055981, 375134737, 655087259, 319336289, 764499131]
+MINHASH_A = [
+    769886857, 330267121, 550510817, 910286881, 232492867, 676943009, 487110253, 133303867,
+    214936679, 741296671, 389517313, 568723477, 823150423, 152667503, 947320487, 663890959,
+]
+MINHASH_C = [
+    526584577, 881231311, 135164743, 978055981, 375134737, 655087259, 319336289, 764499131,
+    491723531, 263849909, 718340737, 104961307, 836275103, 549018217, 287654423, 912480731,
+]
 
 
 def _shingle_hash(col) -> "F.Column":
@@ -77,23 +83,38 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_bands: int = 8,
     k: int = 3,
+    band_r: int = 1,
 ) -> DataFrame:
-    """One min-hash per band b over the shingle set (bands of size r=1 →
-    candidate = any shared band value). Output: (id, band, sig)."""
-    if n_bands > len(MINHASH_A):
-        raise ValueError(f"n_bands > {len(MINHASH_A)} needs more mixer constants")
+    """MinHash band signatures over the shingle set. A band's signature
+    combines ``band_r`` independent minhashes — two docs are candidates for
+    a band iff ALL r minhashes agree (collision probability J^r, the
+    classic LSH S-curve). r=1 maximizes recall; r=2 is the scale setting:
+    low-diversity corpora explode r=1 buckets (measured: 2.3M short texts →
+    1.8e9 candidate pairs at r=1 vs tractable at r=2).
+    Output: (id, band, sig) with sig = mh0·P + mh1 for r=2 (fits int64)."""
+    if n_bands * band_r > len(MINHASH_A):
+        raise ValueError(f"n_bands*band_r > {len(MINHASH_A)} needs more mixer constants")
+    if band_r not in (1, 2):
+        raise ValueError("band_r must be 1 or 2")
     sh = shingle_table(df, text_col, id_col, k).select(
         id_col, _shingle_hash(F.col("shingle")).alias("h")
     )
+    n_mixers = n_bands * band_r
     sigs = [
-        F.min((F.lit(MINHASH_A[b]) * F.col("h") + F.lit(MINHASH_C[b])) % MINHASH_P).alias(f"s{b}")
-        for b in range(n_bands)
+        F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_C[j])) % MINHASH_P).alias(f"s{j}")
+        for j in range(n_mixers)
     ]
     per_doc = sh.groupBy(id_col).agg(*sigs)
+    if band_r == 1:
+        band_sigs = [F.col(f"s{b}") for b in range(n_bands)]
+    else:
+        band_sigs = [
+            F.col(f"s{2 * b}") * F.lit(MINHASH_P) + F.col(f"s{2 * b + 1}") for b in range(n_bands)
+        ]
     bands = F.explode(
         F.arrays_zip(
             F.sequence(F.lit(0), F.lit(n_bands - 1)).alias("band"),
-            F.array(*[F.col(f"s{b}") for b in range(n_bands)]).alias("sig"),
+            F.array(*band_sigs).alias("sig"),
         )
     ).alias("z")
     return per_doc.select(id_col, bands).select(
@@ -107,10 +128,26 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     n_bands: int = 8,
     k: int = 3,
+    band_r: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate duplicate pairs (id_a < id_b) sharing ≥ 1 band signature,
-    with the count of agreeing bands (estimate of Jaccard = n_shared/n_bands)."""
-    sig = minhash_signatures(df, text_col, id_col, n_bands, k)
+    with the count of agreeing bands.
+
+    ``max_bucket_size``: drop (band, sig) buckets larger than this before
+    pairing — a bucket of d docs contributes d²/2 pairs, so one degenerate
+    bucket can dominate the whole job; capping trades recall on
+    ultra-common content (usually exact dups better caught by
+    :func:`exact_dedup`) for a hard bound on the join."""
+    sig = minhash_signatures(df, text_col, id_col, n_bands, k, band_r)
+    if max_bucket_size is not None:
+        ok = (
+            sig.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket_size)
+            .select("band", "sig")
+        )
+        sig = sig.join(ok, ["band", "sig"])
     a = sig.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = sig.select(F.col(id_col).alias("id_b"), "band", "sig")
     return (

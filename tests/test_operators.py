@@ -182,3 +182,16 @@ def test_top_k_per_group(spark, sf_dir):
     top1 = pdf[pdf.rk == 1].set_index("l_returnflag")["l_extendedprice"]
     for flag, m in mx.set_index("l_returnflag")["mx"].items():
         assert top1[flag] == m
+
+
+def test_minhash_band_r2_and_bucket_cap(spark, sf_dir):
+    from pystreamfs_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r1 = minhash_lsh_candidates(d, n_bands=8, band_r=1).count()
+    r2 = minhash_lsh_candidates(d, n_bands=8, band_r=2).count()
+    assert r2 <= r1  # r=2 is strictly more selective
+    capped = minhash_lsh_candidates(d, n_bands=8, band_r=1, max_bucket_size=2).count()
+    assert capped <= r1
+    sigs = minhash_signatures(d, n_bands=4, band_r=2)
+    assert sigs.groupBy("doc_id").count().select(F.max("count")).first()[0] == 4
