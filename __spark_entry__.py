@@ -161,6 +161,39 @@ def q_hourly(spark, sf_dir):
     )
 
 
+def q_sliding_2h(spark, sf_dir):
+    """Sliding event-time windows (2h length, 1h slide) — each event lands in
+    two windows; F.window does this natively (streaming-compatible)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v_sum"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "v_sum",
+        )
+    )
+
+
+def q_session_window(spark, sf_dir):
+    """Native F.session_window (batch mode): gap-merged sessions per user —
+    the built-in twin of operators.sessionize (new session when the gap is
+    >= 30 min, per session_window's exclusive window-end semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("v_sum"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sess.start")).alias("session_start"),
+            "n_events",
+            "v_sum",
+        )
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -386,6 +419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_broadcast": q_asof_join_broadcast,
         "session_stats": q_session_stats,
         "hourly": q_hourly,
+        "sliding_2h": q_sliding_2h,
+        "session_window": q_session_window,
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
         "top_customers": q_top_customers,
@@ -516,6 +551,35 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value) AS v_min,
                    MAX(value) AS v_max
             FROM events GROUP BY 1, 2
+        """,
+        "sliding_2h": """
+            WITH e2 AS (
+              SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start, event_type, value
+              FROM events
+              UNION ALL
+              SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) - 3600, event_type, value
+              FROM events)
+            SELECT win_start, event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v_sum
+            FROM e2 GROUP BY 1, 2
+        """,
+        "session_window": """
+            WITH e AS (
+              SELECT user_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                     SUM(CASE WHEN prev_ts IS NULL
+                              OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000
+                         THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM e)
+            SELECT user_id,
+                   CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS v_sum
+            FROM s GROUP BY user_id, sid
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -46,6 +46,7 @@ STREAM_WEIGHTS_SCHEMA = StructType(
         StructField("win_rows", LongType()),
         StructField("w", ArrayType(DoubleType())),
         StructField("selected", ArrayType(IntegerType())),
+        StructField("fscr", DoubleType()),
         StructField("n_late", LongType()),
     ]
 )
@@ -55,6 +56,7 @@ _STATE_SCHEMA = StructType(
         StructField("kernel_state", BinaryType()),
         StructField("carry_x", BinaryType()),
         StructField("carry_y", BinaryType()),
+        StructField("prev_sel", BinaryType()),
         StructField("next_turn", LongType()),
         StructField("wid", LongType()),
     ]
@@ -85,14 +87,16 @@ def stream_fold(
     ) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
         if state.exists:
-            ks_b, cx_b, cy_b, next_turn, wid = state.get
+            ks_b, cx_b, cy_b, ps_b, next_turn, wid = state.get
             kstate = pickle.loads(ks_b)
             carry_X = pickle.loads(cx_b)
             carry_y = pickle.loads(cy_b)
+            prev_sel = pickle.loads(ps_b)
         else:
             kstate = None
             carry_X = None
             carry_y = None
+            prev_sel = None
             next_turn = 0
             wid = 0
 
@@ -115,13 +119,32 @@ def stream_fold(
                 stop = start + batch_size
                 kstate, w = update(kernel, kstate, X[start:stop], y[start:stop])
                 sel = select_top_m(w, num_features)
-                out.append((conv_id, wid, batch_size, w.tolist(), [int(j) for j in sel], n_late))
+                # FSCR vs the previous window of this entity, carried in
+                # state across micro-batches (reference utils.py:4-18)
+                fscr_val = (
+                    None
+                    if prev_sel is None
+                    else len(set(prev_sel).difference(set(sel))) / num_features
+                )
+                out.append(
+                    (conv_id, wid, batch_size, w.tolist(), [int(j) for j in sel], fscr_val, n_late)
+                )
+                prev_sel = [int(j) for j in sel]
                 n_late = 0
                 wid += 1
                 start = stop
             carry_X, carry_y = X[start:].copy(), y[start:].copy()
 
-        state.update((pickle.dumps(kstate), pickle.dumps(carry_X), pickle.dumps(carry_y), next_turn, wid))
+        state.update(
+            (
+                pickle.dumps(kstate),
+                pickle.dumps(carry_X),
+                pickle.dumps(carry_y),
+                pickle.dumps(prev_sel),
+                next_turn,
+                wid,
+            )
+        )
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in STREAM_WEIGHTS_SCHEMA.fields])
 

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from pystreamfs_spark.fold import fold_weights
 from pystreamfs_spark.functions.features import featurize_turns
+from pystreamfs_spark.operators import fscr
 from pystreamfs_spark.sources.transcripts import synthesize_transcripts
 from pystreamfs_spark.streaming import stream_fold, stream_session_stats
 
@@ -41,9 +42,10 @@ def _run_stream(spark, src_dir, ckpt, max_files=None):
 
 def _batch_reference(featurized):
     # streaming emits only COMPLETED windows (the stream never "ends")
+    w = fold_weights(featurized, kernel="ofs", batch_size=10, num_features=5)
     return {
-        (r.conv_id, r.window_id): (r.w, list(r.selected))
-        for r in fold_weights(featurized, kernel="ofs", batch_size=10, num_features=5).collect()
+        (r.conv_id, r.window_id): (r.w, list(r.selected), r.fscr)
+        for r in fscr(w, num_features=5).collect()
         if r.win_rows == 10
     }
 
@@ -52,7 +54,7 @@ def test_stream_fold_matches_batch_single_batch(spark, featurized, tmp_path):
     src = str(tmp_path / "src")
     featurized.select("conv_id", "turn_idx", "features", "label").coalesce(1).write.parquet(src)
     got = {
-        (r.conv_id, r.window_id): (r.w, list(r.selected))
+        (r.conv_id, r.window_id): (r.w, list(r.selected), r.fscr)
         for r in _run_stream(spark, src, str(tmp_path / "ckpt")).collect()
     }
     assert got == _batch_reference(featurized)
@@ -66,7 +68,7 @@ def test_stream_fold_state_across_microbatches(spark, featurized, tmp_path):
     time.sleep(1.2)  # file-source processes by modification time
     base.where(F.col("turn_idx") >= 25).coalesce(1).write.mode("append").parquet(src)
     got = {
-        (r.conv_id, r.window_id): (r.w, list(r.selected))
+        (r.conv_id, r.window_id): (r.w, list(r.selected), r.fscr)
         for r in _run_stream(spark, src, str(tmp_path / "ckpt2"), max_files=1).collect()
     }
     assert got == _batch_reference(featurized)
