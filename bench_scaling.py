@@ -32,7 +32,7 @@ def run_level(cpus: int, n_convs: int) -> dict:
     env.update(
         {
             "SPARK_GRAFT_CPUS": str(cpus),
-            "BENCH_ONLY": "fold_ofs",
+            "BENCH_ONLY": os.environ.get("SCALING_JOB", "fold_ofs"),
             "BENCH_REPEAT": os.environ.get("BENCH_REPEAT", "5"),
             "SPARK_GRAFT_SHUFFLE_PARTITIONS": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"),
             "BENCH_NCONVS": str(n_convs),
@@ -52,12 +52,13 @@ def main() -> None:
     n_cores = int(os.environ.get("SCALING_N_CORES", "8"))  # levels: N and 4N
     r_n = run_level(n_cores, n_convs)
     r_4n = run_level(4 * n_cores, n_convs)
-    t_n, t_4n = r_n["queries"]["fold_ofs"], r_4n["queries"]["fold_ofs"]
+    job = os.environ.get("SCALING_JOB", "fold_ofs")
+    t_n, t_4n = r_n["queries"][job], r_4n["queries"][job]
     rows = r_n["fold_rows"]
     thr_n, thr_4n = rows / t_n, rows / t_4n
     eff = thr_4n / (4 * thr_n)
     result = {
-        "job": "fold_ofs (feature-window fold, batch=50, m=16)",
+        "job": f"{job} (feature-window fold, batch=50, m=16)",
         "rows": rows,
         "n_cores": n_cores,
         f"local{n_cores}_sec": t_n,
@@ -67,7 +68,7 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
     }
-    out_name = "BENCH_SCALING.json" if n_cores == 8 else f"BENCH_SCALING_{n_cores}to{4 * n_cores}.json"
+    out_name = "BENCH_SCALING.json" if (n_cores == 8 and job == "fold_ofs") else f"BENCH_SCALING_{job}_{n_cores}to{4 * n_cores}.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

@@ -18,7 +18,7 @@ to float64 on the first update, so float64 zeros are value-identical.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pystreamfs_spark.functions.text import fingerprint, word_shingles
+from pystreamfs_spark.functions.text import fingerprint
 
 
 def exact_dedup(
