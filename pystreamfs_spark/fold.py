@@ -175,6 +175,75 @@ def fold_weights(
     return df.select(*dict.fromkeys(cols)).groupBy(entity_col).applyInPandas(fold_fn, WEIGHTS_SCHEMA)
 
 
+STATELESS_KERNELS = {"cancelout"}  # state is rebuilt every window (reference cancelout.py:165-194)
+
+
+def fold_weights_windowed(
+    df: DataFrame,
+    kernel: str = "cancelout",
+    batch_size: int = 50,
+    num_features: int = 5,
+    kernel_kwargs: dict[str, Any] | None = None,
+    entity_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx", "ts"),
+    features_col: str = "features",
+    label_col: str = "label",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Window-parallel fold for STATELESS kernels (no cross-window state):
+    assign window ids declaratively, then run the kernel once per
+    (entity, window) group. Unlike the sequential folds, a giant
+    conversation parallelizes across its own windows. Results are
+    bit-identical to the sequential folds for these kernels.
+
+    Trade-off (measured): this path pays a full shuffle on
+    (entity, window) plus one Arrow round-trip per window, so it only wins
+    when per-window kernel compute dominates per-row data movement — e.g.
+    large batch_size × many training epochs, or a single entity holding
+    most of the data AND an expensive kernel. For CancelOut at the default
+    20 epochs / batch 50 the sequential scan is as fast or faster; prefer
+    this path for heavy window workloads (wide nets, hundreds of epochs)."""
+    if kernel not in KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}; available: {sorted(KERNELS)}")
+    if kernel not in STATELESS_KERNELS:
+        raise ValueError(
+            f"kernel {kernel!r} carries cross-window state; "
+            f"window-parallel folding is only valid for {sorted(STATELESS_KERNELS)}"
+        )
+    from pystreamfs_spark.operators.windows import assign_count_windows
+
+    kk = dict(kernel_kwargs or {})
+    order = list(order_cols)
+    cols = list(dict.fromkeys([entity_col, *order, features_col, label_col, ts_col]))
+    win = assign_count_windows(
+        df.select(*cols), entity_col=entity_col, order_cols=order_cols, batch_size=batch_size
+    )
+
+    def one_window(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        X = np.stack(pdf[features_col].to_numpy()).astype(np.float64, copy=False)
+        y = pdf[label_col].to_numpy(dtype=np.float64)
+        state = init_state(kernel, X.shape[1], num_features=num_features, **kk)
+        t0 = time.perf_counter()
+        _, w = update(kernel, state, X, y)
+        selected = select_top_m(w, num_features)
+        row = (
+            str(pdf[entity_col].iloc[0]),
+            int(pdf["window_id"].iloc[0]),
+            len(pdf),
+            pdf[ts_col].iloc[-1],
+            w.tolist(),
+            [int(j) for j in selected],
+            None,
+            0,
+            time.perf_counter() - t0,
+            _mem_bytes(),
+        )
+        return _rows_to_pdf([row])
+
+    return win.groupBy(entity_col, "window_id").applyInPandas(one_window, WEIGHTS_SCHEMA)
+
+
 def fold_weights_stream(
     df: DataFrame,
     kernel: str = "ofs",

@@ -64,3 +64,21 @@ def test_asof_broadcast_path_no_probe_shuffle(spark, sf_dir):
     # the probe (left) side must not be exchanged; the only exchange allowed
     # is building the broadcast from the aggregated right side
     assert count_exchanges(j) <= 1, text[:3000]
+
+
+def test_partition_pruning_on_date_layout(spark, tmp_path):
+    """Iceberg-style layout in Parquet mode: partition transcripts by day;
+    a ts-day filter must prune partitions at plan time (the 100 TB
+    time-travel/backfill access path)."""
+    t = synthesize_transcripts(spark, n_convs=30, seed=6).withColumn(
+        "ds", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "by_day")
+    t.write.partitionBy("ds").parquet(out)
+    n_days = t.select("ds").distinct().count()
+    assert n_days > 1
+
+    q = spark.read.parquet(out).where(F.col("ds") == t.select(F.min("ds")).first()[0])
+    text = explain_str(q)
+    # the physical scan must carry the ds predicate as a PartitionFilter
+    assert "PartitionFilters" in text and "ds" in text.split("PartitionFilters", 1)[1][:200], text[:2000]
