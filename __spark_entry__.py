@@ -346,6 +346,15 @@ def _fold_query(kernel, kw):
     return run
 
 
+def q_fsds_fast(spark, sf_dir):
+    """FSDS mergeable fast path (approximate; intra-entity parallel)."""
+    from pystreamfs_spark.fsds_merge import fold_fsds_fast
+    from pystreamfs_spark.functions import featurize_turns
+
+    f = featurize_turns(_transcripts(spark, sf_dir))
+    return fold_fsds_fast(f, batch_size=BATCH, num_features=5, k=2, ell=0, chunk_windows=4)
+
+
 def q_fscr_kernel(spark, sf_dir):
     from pystreamfs_spark.fold import fold_weights_stream
     from pystreamfs_spark.functions import featurize_turns
@@ -441,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "efs_weights": _fold_query("efs", {}),
         "mcnn_weights": _fold_query("mcnn", {}),
         "cancelout_weights": _fold_query("cancelout", {}),
+        "fsds_fast_weights": q_fsds_fast,
         "fscr_kernel": q_fscr_kernel,
         "nogueira_kernel": q_nogueira_kernel,
         "prequential_ofs": q_prequential_ofs,
