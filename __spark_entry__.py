@@ -333,6 +333,25 @@ def q_nogueira_sql(spark, sf_dir):
 
 
 # ---- kernel folds & multimodal (non-SQL-expressible → rows-only checks) ----
+#
+# The library API returns the full weight arrays (w array<double>, selected
+# array<int>); the DRIVER projection flattens them to scalar twins because the
+# driver's canonicalizer sorts/hashes every column and list cells are
+# unhashable. w_l1 = round(Σ|w_i|, 6) is a deterministic checksum of the
+# weight vector (kernel math is seeded NumPy — stable across runs/partitions);
+# selected_csv is the ordered selection as one string. Library callers keep
+# the arrays; only these entry queries flatten.
+
+
+def _flatten_weights(out):
+    return out.select(
+        "conv_id",
+        "window_id",
+        "win_rows",
+        F.round(F.aggregate("w", F.lit(0.0), lambda a, x: a + F.abs(x)), 6).alias("w_l1"),
+        F.concat_ws(",", F.col("selected")).alias("selected_csv"),
+    )
+
 
 def _fold_query(kernel, kw):
     def run(spark, sf_dir):
@@ -341,7 +360,7 @@ def _fold_query(kernel, kw):
 
         f = featurize_turns(_transcripts(spark, sf_dir))
         out = fold_weights_stream(f, kernel=kernel, batch_size=BATCH, num_features=5, kernel_kwargs=kw)
-        return out.select("conv_id", "window_id", "win_rows", "w", "selected")
+        return _flatten_weights(out)
 
     return run
 
@@ -352,7 +371,8 @@ def q_fsds_fast(spark, sf_dir):
     from pystreamfs_spark.functions import featurize_turns
 
     f = featurize_turns(_transcripts(spark, sf_dir))
-    return fold_fsds_fast(f, batch_size=BATCH, num_features=5, k=2, ell=0, chunk_windows=4)
+    out = fold_fsds_fast(f, batch_size=BATCH, num_features=5, k=2, ell=0, chunk_windows=4)
+    return _flatten_weights(out)
 
 
 def q_fscr_kernel(spark, sf_dir):
@@ -366,29 +386,43 @@ def q_fscr_kernel(spark, sf_dir):
 
 
 def q_nogueira_kernel(spark, sf_dir):
+    # stability is a ratio of exact selection counts scaled by k/(k-1) — a
+    # short float expression; round 6 gives a stable hashable value column
     from pystreamfs_spark.fold import fold_weights_stream
     from pystreamfs_spark.functions import featurize_turns
     from pystreamfs_spark.operators import nogueira_stability
 
     f = featurize_turns(_transcripts(spark, sf_dir))
     w = fold_weights_stream(f, kernel="ofs", batch_size=BATCH, num_features=5)
-    return nogueira_stability(w)
+    out = nogueira_stability(w)
+    return out.select("conv_id", "k_windows", F.round(F.col("stability"), 6).alias("stability"))
 
 
 def q_prequential_ofs(spark, sf_dir):
+    # acc = correct/n of a deterministic k-NN — exact fraction; round 6 keeps
+    # the column hashable at a precision where the value is stable
     from pystreamfs_spark.fold import fold_weights
     from pystreamfs_spark.functions import featurize_turns
 
     f = featurize_turns(_transcripts(spark, sf_dir))
     out = fold_weights(f, kernel="ofs", batch_size=BATCH, num_features=5, with_accuracy=True)
-    return out.select("conv_id", "window_id", "acc", "train_rows")
+    return out.select("conv_id", "window_id", F.round(F.col("acc"), 6).alias("acc"), "train_rows")
 
 
 def q_multimodal_features(spark, sf_dir):
     from pystreamfs_spark.functions.multimodal import extract_image_features, synthesize_media
 
     media = synthesize_media(spark, n_rows=256, seed=42)
-    return extract_image_features(media)
+    out = extract_image_features(media)
+    # emb_l1 flattens the embedding array for the driver (see _flatten_weights)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + F.abs(x)), 6).alias("emb_l1"),
+    )
 
 
 def q_lsh_ann(spark, sf_dir):
@@ -404,7 +438,14 @@ def q_embedding_near_dups(spark, sf_dir):
     from pystreamfs_spark.operators.ann import cosine_self_similar
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_self_similar(emb, dims=64, threshold=0.3, n_planes=4)
+    out = cosine_self_similar(emb, dims=64, threshold=0.3, n_planes=4)
+    return out.select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))
+
+
+def q_simhash_near(spark, sf_dir):
+    from pystreamfs_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), n_bits=16, d=1)
 
 
 # --------------------------------------------------------------------------
@@ -441,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_near": q_simhash_near,
         "embed_topk": q_embed_topk,
         "fscr_sql": q_fscr_sql,
         "nogueira_sql": q_nogueira_sql,
@@ -747,6 +789,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST({" + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16))} AS BIGINT) AS simhash
             FROM v
+        """,
+        "simhash_near": f"""
+            WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+            v AS (SELECT doc_id,
+                         {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16))}
+                  FROM h GROUP BY doc_id),
+            sig AS (SELECT doc_id,
+                   CAST({" + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16))} AS BIGINT) AS simhash
+            FROM v),
+            masks AS (SELECT CAST(unnest([0{"".join(f", {1 << b}" for b in range(16))}]) AS BIGINT) AS mask),
+            probes AS (SELECT doc_id AS id_a, simhash AS sig_a, xor(simhash, mask) AS probe FROM sig, masks)
+            SELECT p.id_a, s.doc_id AS id_b,
+                   CAST(bit_count(xor(p.sig_a, s.simhash)) AS INT) AS hamming
+            FROM probes p JOIN sig s ON p.probe = s.simhash AND p.id_a < s.doc_id
+        """,
+        "lsh_ann": """
+            WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+                              CAST(unnest(range(len(embedding))) AS INT) AS pos
+                       FROM embeddings),
+            planes AS (SELECT p AS plane, d AS dim,
+                              CASE WHEN CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+                                   THEN 1.0 ELSE -1.0 END AS coef
+                       FROM (SELECT unnest(range(4)) AS p), (SELECT unnest(range(64)) AS d)),
+            proj AS (SELECT e.vec_id, pl.plane, SUM(e.val * pl.coef) AS proj
+                     FROM e JOIN planes pl ON e.pos = pl.dim GROUP BY 1, 2),
+            bucket AS (SELECT vec_id,
+                              CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS BIGINT) AS bucket
+                       FROM proj GROUP BY vec_id),
+            c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+            q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                  FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT q.query_id, c.vec_id,
+                         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+                  FROM q
+                  JOIN bucket bq ON bq.vec_id = q.query_id
+                  JOIN bucket bc ON bc.bucket = bq.bucket
+                  JOIN c ON c.vec_id = bc.vec_id
+                  WHERE c.vec_id != q.query_id),
+            r AS (SELECT query_id, vec_id, cos,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+                  FROM s)
+            SELECT query_id, vec_id, ROUND(cos, 6) AS cos, CAST(rk AS INT) AS rk
+            FROM r WHERE rk <= 5
+        """,
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+                              CAST(unnest(range(len(embedding))) AS INT) AS pos
+                       FROM embeddings),
+            planes AS (SELECT p AS plane, d AS dim,
+                              CASE WHEN CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+                                   THEN 1.0 ELSE -1.0 END AS coef
+                       FROM (SELECT unnest(range(4)) AS p), (SELECT unnest(range(64)) AS d)),
+            proj AS (SELECT e.vec_id, pl.plane, SUM(e.val * pl.coef) AS proj
+                     FROM e JOIN planes pl ON e.pos = pl.dim GROUP BY 1, 2),
+            bucket AS (SELECT vec_id,
+                              CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS BIGINT) AS bucket
+                       FROM proj GROUP BY vec_id),
+            c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+            pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                      FROM bucket a JOIN bucket b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            scored AS (SELECT id_a, id_b,
+                              list_dot_product(ca.cv, cb.cv)
+                                / (sqrt(list_dot_product(ca.cv, ca.cv)) * sqrt(list_dot_product(cb.cv, cb.cv))) AS cos
+                       FROM pairs
+                       JOIN c ca ON ca.vec_id = id_a
+                       JOIN c cb ON cb.vec_id = id_b)
+            SELECT id_a, id_b, ROUND(cos, 6) AS cos
+            FROM scored WHERE cos >= 0.3
         """,
         "embed_topk": """
             WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

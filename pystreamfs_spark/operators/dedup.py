@@ -241,8 +241,57 @@ def simhash_duplicates(
     n_bits: int = 16,
 ) -> DataFrame:
     """Pairs with identical SimHash signature (Hamming 0) — the scalable
-    grouping; widen to Hamming ≤ d by probing d bit flips if needed."""
+    grouping; :func:`simhash_near_duplicates` widens to Hamming ≤ d."""
     sig = simhash(df, text_col, id_col, n_bits)
     a = sig.select(F.col(id_col).alias("id_a"), "simhash")
     b = sig.select(F.col(id_col).alias("id_b"), "simhash")
     return a.join(b, "simhash").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "simhash")
+
+
+def _flip_masks(n_bits: int, d: int) -> list[int]:
+    """All XOR masks with ≤ d set bits (Σ_{i≤d} C(n_bits, i) masks; the
+    identity mask 0 covers Hamming-0 collisions)."""
+    from itertools import combinations
+
+    masks = [0]
+    for dd in range(1, d + 1):
+        for bits in combinations(range(n_bits), dd):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+    d: int = 1,
+) -> DataFrame:
+    """Pairs at Hamming distance ≤ d between SimHash signatures, via
+    bit-flip probe expansion: side A explodes each signature into all ≤d-bit
+    XOR flips (17 probes/doc at n_bits=16, d=1; 137 at d=2), side B keeps raw
+    signatures, and the join is on the probed value — never all-pairs. A pair
+    at Hamming h ≤ d collides on exactly ONE mask (the one flipping A's h
+    differing bits), so the join emits each pair once with no dedup pass.
+    Output: (id_a, id_b, hamming). Scale note: probe fan-out multiplies the
+    shuffled rows by the mask count — keep d ≤ 2 (real near-dup practice) or
+    split the signature into bands instead."""
+    if d < 1:
+        raise ValueError("d must be >= 1 (use simhash_duplicates for Hamming 0)")
+    sig = simhash(df, text_col, id_col, n_bits)
+    masks = _flip_masks(n_bits, d)
+    probes = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("__sig_a"),
+        F.explode(F.array(*[F.col("simhash").bitwiseXOR(F.lit(m)) for m in masks])).alias("probe"),
+    )
+    raw = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("probe"))
+    return (
+        probes.join(raw, "probe")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("probe"))).cast("int").alias("hamming"),
+        )
+    )
