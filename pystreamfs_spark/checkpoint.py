@@ -81,15 +81,27 @@ class CheckpointedFold:
     seed: int = 42
 
     # --- ledger -----------------------------------------------------------
+    # Ledger I/O goes through the Hadoop FileSystem API (same layer Spark
+    # writes the epoch data through), so ``out_dir`` may be local, HDFS or
+    # s3a:// — a driver-local os.listdir would silently see zero committed
+    # epochs on a shared store and re-run everything.
     @property
     def ledger_dir(self) -> str:
         return os.path.join(self.out_dir, "_ledger")
 
+    def _hadoop(self):
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.ledger_dir)
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return jvm, fs, path
+
     def committed_epochs(self) -> set[int]:
-        if not os.path.isdir(self.ledger_dir):
+        jvm, fs, ldir = self._hadoop()
+        if not fs.exists(ldir):
             return set()
         out = set()
-        for fn in os.listdir(self.ledger_dir):
+        for st in fs.listStatus(ldir):
+            fn = st.getPath().getName()
             if fn.endswith(".json"):
                 try:
                     out.add(int(fn[:-5]))
@@ -98,11 +110,17 @@ class CheckpointedFold:
         return out
 
     def _commit(self, epoch: int, record: dict[str, Any]) -> None:
-        os.makedirs(self.ledger_dir, exist_ok=True)
-        tmp = os.path.join(self.ledger_dir, f".{epoch}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(record, f)
-        os.replace(tmp, os.path.join(self.ledger_dir, f"{epoch}.json"))  # atomic
+        jvm, fs, ldir = self._hadoop()
+        fs.mkdirs(ldir)
+        tmp = jvm.org.apache.hadoop.fs.Path(ldir, f".{epoch}.json.tmp")
+        final = jvm.org.apache.hadoop.fs.Path(ldir, f"{epoch}.json")
+        stream = fs.create(tmp, True)
+        try:
+            stream.write(bytearray(json.dumps(record).encode("utf-8")))
+        finally:
+            stream.close()
+        fs.delete(final, False)  # idempotent re-commit: clear stale marker
+        fs.rename(tmp, final)  # atomic on HDFS/posix; the file IS the commit
 
     # --- run --------------------------------------------------------------
     def run(

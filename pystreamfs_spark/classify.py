@@ -33,6 +33,7 @@ def knn_accuracy(
     (stable for equal keys via kind='stable'); label ties pick the smallest
     label, matching scipy.stats.mode semantics."""
     n_train = x_train.shape[0]
+    n_test = x_test.shape[0]
     kk = min(k, n_train)
     # (n_test, n_train) squared euclidean distances, vectorized
     d2 = (
@@ -40,15 +41,32 @@ def knn_accuracy(
         - 2.0 * (x_test @ x_train.T)
         + np.sum(x_train**2, axis=1)[None, :]
     )
-    idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+    if kk >= n_train:
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+    else:
+        # O(T) selection instead of a full O(T log T) argsort of every train
+        # row: argpartition finds the kk-th distance, then each row gathers
+        # ALL candidates within that radius (covers boundary ties) and
+        # stable-sorts only that tiny set — flatnonzero yields ascending
+        # indices, so equal distances still resolve to the smallest index,
+        # bit-identical to the full stable argsort.
+        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        vk = np.take_along_axis(d2, part, axis=1).max(axis=1, keepdims=True)
+        mask = d2 <= vk
+        idx = np.empty((n_test, kk), dtype=np.intp)
+        for r in range(n_test):
+            cand = np.flatnonzero(mask[r])
+            order = np.argsort(d2[r, cand], kind="stable")[:kk]
+            idx[r] = cand[order]
     votes = y_train[idx]  # (n_test, kk)
-    correct = 0
-    for r in range(votes.shape[0]):
-        labels, counts = np.unique(votes[r], return_counts=True)
-        pred = labels[np.argmax(counts)]  # argmax → first max → smallest label
-        if pred == y_test[r]:
-            correct += 1
-    return correct / max(1, x_test.shape[0])
+    # vectorized majority vote: counts over the globally-sorted unique labels;
+    # argmax → first max → smallest label (same rule as per-row np.unique)
+    uniq, inv = np.unique(votes, return_inverse=True)
+    counts = np.zeros((n_test, len(uniq)), dtype=np.int64)
+    np.add.at(counts, (np.arange(n_test)[:, None], inv.reshape(votes.shape)), 1)
+    pred = uniq[np.argmax(counts, axis=1)]
+    correct = int(np.sum(pred == y_test))
+    return correct / max(1, n_test)
 
 
 def prequential_accuracy(

@@ -123,7 +123,16 @@ def fold_fsds_fast(
         order_cols=order_cols, batch_size=batch_size,
     ).withColumn("chunk", F.floor(F.col("window_id") / chunk_windows))
 
-    sample_m = len(df.select(features_col).first()[0])
+    # NOTE: eager action at plan-build time — one head(1) job to learn the
+    # feature width m (the array length is not in the schema). Cost: one
+    # tiny job before the transformation is assembled.
+    head = df.select(features_col).head(1)
+    if not head or head[0][0] is None:
+        raise ValueError(
+            f"fold_fsds_fast: input has no rows (or null {features_col!r}) — "
+            "cannot infer the feature width m"
+        )
+    sample_m = len(head[0][0])
     resolved_ell = ell if ell >= 1 else int(np.sqrt(sample_m))
     FSDSState.init(sample_m, k=k, ell=ell)  # surface the ell>=k contract early
 

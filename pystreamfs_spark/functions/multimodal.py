@@ -50,17 +50,48 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — vectorized uint64 bit mixer (wrapping mults)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _decode_batch(payloads: list[bytes], emb_dim: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """STUB decoder, batch form: deterministic pseudo-decode from each
+    payload's md5 digest. Row-independent (the same payload decodes to the
+    same features regardless of batch/partition placement) and vectorized:
+    the only per-row Python is the md5 call — a real decoder would pay a
+    per-row decode there too. Replace with PIL/ffmpeg here; callers and
+    schema don't change. Returns (width, height, embeddings[n, emb_dim])."""
+    n = len(payloads)
+    digests = b"".join(hashlib.md5(p).digest() for p in payloads)
+    raw = np.frombuffer(digests, dtype=np.uint8).reshape(n, 16)
+    width = (64 + raw[:, 0] % 192).astype(np.int32)
+    height = (64 + raw[:, 1] % 192).astype(np.int32)
+    seeds = raw[:, 2:10].copy().view(np.uint64).ravel()
+    # counter-mode PRNG: one mixed word per (row, slot), then Box-Muller —
+    # all-NumPy, no per-row Generator construction
+    half = (emb_dim + 1) // 2
+    ctr = np.arange(1, 2 * half + 1, dtype=np.uint64) * _GOLD
+    words = _mix64(seeds[:, None] + ctr[None, :])
+    u = (words >> np.uint64(11)).astype(np.float64) * 2.0**-53
+    u1 = np.clip(u[:, :half], 1e-300, None)
+    u2 = u[:, half:]
+    r = np.sqrt(-2.0 * np.log(u1))
+    emb = np.concatenate([r * np.cos(2 * np.pi * u2), r * np.sin(2 * np.pi * u2)], axis=1)[:, :emb_dim]
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = emb / np.where(norms == 0, 1.0, norms)
+    return width, height, emb
+
+
 def _fake_decode(payload: bytes, emb_dim: int) -> tuple[int, int, np.ndarray]:
-    """STUB decoder: deterministic pseudo-decode from the payload digest.
-    Replace with PIL/ffmpeg here — the callers and schema don't change."""
-    digest = hashlib.md5(payload).digest()
-    w = 64 + digest[0] % 192
-    h = 64 + digest[1] % 192
-    seed = int.from_bytes(digest[2:10], "little", signed=False)
-    rng = np.random.default_rng(seed)
-    emb = rng.standard_normal(emb_dim)
-    emb /= np.linalg.norm(emb)
-    return w, h, emb
+    """Single-row twin of :func:`_decode_batch` (kept for direct callers)."""
+    w, h, emb = _decode_batch([payload], emb_dim)
+    return int(w[0]), int(h[0]), emb[0]
 
 
 def extract_image_features(
@@ -74,14 +105,20 @@ def extract_image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, kind, payload in zip(pdf[id_col], pdf[kind_col], pdf[payload_col]):
-                data = bytes(payload) if payload is not None else b""
-                if _HAVE_PIL and kind == "image":  # pragma: no cover - not in sandbox
-                    raise NotImplementedError("real decoder path: wire PIL here")
-                w, h, emb = _fake_decode(data, emb_dim)
-                rows.append((int(mid), str(kind), len(data), w, h, emb.tolist()))
-            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+            if _HAVE_PIL and (pdf[kind_col] == "image").any():  # pragma: no cover
+                raise NotImplementedError("real decoder path: wire PIL here")
+            data = [bytes(p) if p is not None else b"" for p in pdf[payload_col]]
+            width, height, emb = _decode_batch(data, emb_dim)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "kind": pdf[kind_col].astype(str),
+                    "n_bytes": np.fromiter((len(b) for b in data), dtype=np.int64, count=len(data)),
+                    "width": width,
+                    "height": height,
+                    "embedding": list(emb),
+                }
+            )
 
     return df.select(id_col, kind_col, payload_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 

@@ -9,9 +9,10 @@ Two physical strategies:
 
 - ``strategy="union"`` (default; sort-merge-shaped, scales to any right
   size): union the two sides tagged, then one pass of
-  ``last(value, ignorenulls=True) OVER (PARTITION BY key ORDER BY ts, side
-  ROWS UNBOUNDED PRECEDING)``. Exactly one shuffle on the key; no row
-  explosion; skew handled by AQE since the window is per-key.
+  ``last(struct(values), ignorenulls=True) OVER (PARTITION BY key ORDER BY
+  ts, side ROWS UNBOUNDED PRECEDING)`` — a single struct per right row so a
+  NULL value column still wins as the latest match. Exactly one shuffle on
+  the key; no row explosion; skew handled by AQE since the window is per-key.
 - ``strategy="broadcast"`` (fast path for small right sides, e.g. weight
   checkpoints): range-θ join ``left ⋈ right ON key AND r.ts <= l.ts``
   broadcast to every executor, then keep the max-r.ts match per left row
@@ -57,23 +58,30 @@ def _asof_union(
     value_cols: list[str],
     inclusive: bool,
 ) -> DataFrame:
+    from pyspark.sql.types import StructField, StructType
+
     left_cols = left.columns
     # side ordering at equal ts: right first (0) so an exact-ts right row is
     # visible to the left row when inclusive; left first otherwise
     l_side, r_side = (1, 0) if inclusive else (0, 1)
+    # Forward-fill ONE struct per right row (not each value column
+    # separately): a right row whose value column is NULL must still win as
+    # the latest match — per-column last(ignorenulls) would skip it and leak
+    # an older row's value, diverging from ASOF JOIN semantics.
+    r_struct_t = StructType([StructField(c, right.schema[c].dataType) for c in value_cols])
     tagged_l = left.select(
         *[F.col(c) for c in left_cols],
         F.col(left_ts).alias("__asof_ts"),
         F.lit(l_side).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(r_struct_t).alias("__r_struct"),
     )
     tagged_r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in keys],
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__asof_ts"),
         F.lit(r_side).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-    ).select(*[F.col(c) for c in left_cols], "__asof_ts", "__side", *[f"__r_{c}" for c in value_cols])
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r_struct"),
+    ).select(*[F.col(c) for c in left_cols], "__asof_ts", "__side", "__r_struct")
 
     u = tagged_l.unionByName(tagged_r)
     w = (
@@ -81,11 +89,10 @@ def _asof_union(
         .orderBy("__asof_ts", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in value_cols:
-        u = u.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    u = u.withColumn("__r_struct", F.last("__r_struct", ignorenulls=True).over(w))
     out = u.where(F.col("__side") == l_side).select(
         *[F.col(c) for c in left_cols],
-        *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+        *[F.col("__r_struct")[c].alias(c) for c in value_cols],
     )
     return out
 

@@ -59,6 +59,9 @@ _STATE_SCHEMA = StructType(
         StructField("prev_sel", BinaryType()),
         StructField("next_turn", LongType()),
         StructField("wid", LongType()),
+        # late rows seen since the last completed window — accumulated across
+        # micro-batches so a batch that completes no window doesn't lose them
+        StructField("n_late_acc", LongType()),
     ]
 )
 
@@ -87,7 +90,7 @@ def stream_fold(
     ) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
         if state.exists:
-            ks_b, cx_b, cy_b, ps_b, next_turn, wid = state.get
+            ks_b, cx_b, cy_b, ps_b, next_turn, wid, n_late_acc = state.get
             kstate = pickle.loads(ks_b)
             carry_X = pickle.loads(cx_b)
             carry_y = pickle.loads(cy_b)
@@ -99,11 +102,12 @@ def stream_fold(
             prev_sel = None
             next_turn = 0
             wid = 0
+            n_late_acc = 0
 
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(turn_col, kind="mergesort")
         fresh = rows[rows[turn_col] >= next_turn]
-        n_late = len(rows) - len(fresh)
+        n_late = n_late_acc + (len(rows) - len(fresh))
         out = []
         if len(fresh):
             X = np.stack(fresh[features_col].to_numpy()).astype(np.float64, copy=False)
@@ -143,6 +147,7 @@ def stream_fold(
                 pickle.dumps(prev_sel),
                 next_turn,
                 wid,
+                n_late,  # 0 if a window was emitted this batch; else carried
             )
         )
         if out:

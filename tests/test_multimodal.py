@@ -1,0 +1,63 @@
+"""Multimodal plumbing: the decode stub must be deterministic and
+row-independent (same payload → same features regardless of batch or
+partition placement), embeddings unit-norm, and the Spark boundary
+Arrow-batched."""
+
+import numpy as np
+import pytest
+
+from pystreamfs_spark.functions.multimodal import (
+    _decode_batch,
+    _fake_decode,
+    extract_image_features,
+    synthesize_media,
+)
+
+
+def test_decode_batch_matches_single_row():
+    payloads = [f"payload-{i}".encode() for i in range(32)]
+    w, h, emb = _decode_batch(payloads, emb_dim=16)
+    for i, p in enumerate(payloads):
+        wi, hi, ei = _fake_decode(p, 16)
+        assert (wi, hi) == (int(w[i]), int(h[i]))
+        np.testing.assert_array_equal(ei, emb[i])
+
+
+def test_decode_batch_split_invariance():
+    """Splitting the batch must not change any row's features."""
+    payloads = [f"x-{i}".encode() for i in range(20)]
+    _, _, whole = _decode_batch(payloads, emb_dim=16)
+    _, _, a = _decode_batch(payloads[:7], emb_dim=16)
+    _, _, b = _decode_batch(payloads[7:], emb_dim=16)
+    np.testing.assert_array_equal(whole, np.concatenate([a, b]))
+
+
+def test_decode_unit_norm_and_dims():
+    w, h, emb = _decode_batch([b"abc", b"", b"zzz"], emb_dim=16)
+    assert emb.shape == (3, 16)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-12)
+    assert ((w >= 64) & (w < 256)).all() and ((h >= 64) & (h < 256)).all()
+
+
+def test_decode_odd_emb_dim():
+    _, _, emb = _decode_batch([b"abc"], emb_dim=7)
+    assert emb.shape == (1, 7)
+
+
+@pytest.mark.parametrize("arrow_batch", [4, 10000])
+def test_extract_features_partition_independent(spark, arrow_batch):
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+    try:
+        media = synthesize_media(spark, n_rows=64, seed=7)
+        out = {
+            r.media_id: (r.n_bytes, r.width, r.height, tuple(r.embedding))
+            for r in extract_image_features(media.repartition(5)).collect()
+        }
+        out1 = {
+            r.media_id: (r.n_bytes, r.width, r.height, tuple(r.embedding))
+            for r in extract_image_features(media.coalesce(1)).collect()
+        }
+        assert out == out1 and len(out) == 64
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -135,6 +135,19 @@ def test_asof_union_hand_case_and_broadcast_equivalence(spark):
     assert got[("a", ts(10))] == 1.0
 
 
+def test_asof_null_right_value_wins_as_latest(spark):
+    """DuckDB ASOF semantics: the latest prior right ROW matches, even when
+    its value column is NULL — an older non-null value must not leak in."""
+    left = spark.createDataFrame([Row(k="a", ts=ts(25)), Row(k="a", ts=ts(15))])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=ts(10), v=1.0), Row(k="a", ts=ts(20), v=None)]
+    )
+    expect = {ts(15): 1.0, ts(25): None}  # ts(25)'s latest match is the NULL row
+    for strategy in ("union", "broadcast"):
+        got = {r.ts: r.v for r in asof_join(left, right, on="k", strategy=strategy).collect()}
+        assert got == expect, strategy
+
+
 def test_asof_strategies_agree_on_events(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     left = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")

@@ -74,6 +74,32 @@ def test_stream_fold_state_across_microbatches(spark, featurized, tmp_path):
     assert got == _batch_reference(featurized)
 
 
+def test_stream_fold_accumulates_late_counts(spark, tmp_path):
+    """Late rows arriving in a micro-batch that completes NO window must not
+    vanish from the n_late metric — they carry in state and surface on the
+    next completed window."""
+    from pyspark.sql import Row
+
+    def rows(turns):
+        return [
+            Row(conv_id="c", turn_idx=int(t), features=[float(t), 1.0], label=float(t % 2))
+            for t in turns
+        ]
+
+    src = str(tmp_path / "late_src")
+    for i, turns in enumerate([range(0, 10), range(3, 8), range(10, 20)]):
+        if i:
+            time.sleep(1.2)  # file-source orders micro-batches by mtime
+        spark.createDataFrame(rows(turns), FEAT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = _run_stream(spark, src, str(tmp_path / "late_ckpt"), max_files=1)
+    late = {r.window_id: r.n_late for r in out.collect()}
+    # window 0 completes in batch 1 (no late rows yet); batch 2 is 5 late rows
+    # and completes nothing; window 1 completes in batch 3 carrying the 5
+    assert late == {0: 0, 1: 5}
+
+
 def test_stream_session_stats_runs(spark, sf_dir, tmp_path):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     src = str(tmp_path / "ev")

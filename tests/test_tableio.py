@@ -34,3 +34,40 @@ def test_epoch_commits_are_idempotent(spark, tmp_path):
 def test_read_table_path_vs_catalog(spark, sf_dir):
     df = read_table(spark, f"{sf_dir}/events.parquet")
     assert df.count() > 0
+
+
+def test_iceberg_hidden_partitioning_and_snapshots(spark, tmp_path):
+    """Exercised the day an Iceberg runtime jar appears on the classpath
+    (sources/tableio.py:_iceberg_available probes for it); until then this
+    is SKIPPED, not absent. Covers: catalog registration, hidden
+    partitioning (days(ts) + bucket(conv_id)), snapshot-per-commit, and
+    read-back through the same seam."""
+    import pytest
+
+    from pystreamfs_spark.sources.tableio import _iceberg_available
+
+    if not _iceberg_available(spark):
+        pytest.skip("no Iceberg runtime jar on the classpath")
+
+    spark.conf.set("spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.ice.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.ice.warehouse", str(tmp_path / "warehouse"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice.db")
+    spark.sql(
+        "CREATE TABLE ice.db.turns (conv_id STRING, turn_idx BIGINT, ts TIMESTAMP, label DOUBLE) "
+        "USING iceberg PARTITIONED BY (days(ts), bucket(8, conv_id))"
+    )
+    try:
+        t = synthesize_transcripts(spark, n_convs=6, seed=2).select(
+            "conv_id", "turn_idx", "ts", "label"
+        )
+        t.writeTo("ice.db.turns").append()
+        t.writeTo("ice.db.turns").append()
+        snaps = spark.sql("SELECT * FROM ice.db.turns.snapshots").count()
+        assert snaps == 2
+        assert spark.table("ice.db.turns").count() == 2 * t.count()
+        # hidden partition pruning: a day filter must not need a partition col
+        one_day = spark.table("ice.db.turns").where("ts < timestamp'2024-01-02 00:00:00'")
+        assert one_day.count() <= 2 * t.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ice.db.turns")
