@@ -280,6 +280,7 @@ def fold_weights_stream(
 
     def scan(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         import pyarrow as pa
+        import pyarrow.compute as pa_compute
 
         out_type_w = pa.list_(pa.float64())
         out_type_sel = pa.list_(pa.int32())
@@ -369,7 +370,11 @@ def fold_weights_stream(
                 names = rb.schema.names
                 idx = {c: names.index(c) for c in (entity_col, features_col, label_col, ts_col)}
                 ts_type = rb.schema.field(idx[ts_col]).type
-            convs = rb.column(idx[entity_col]).to_numpy(zero_copy_only=False)
+            # entity boundaries computed IN Arrow (pc.not_equal on shifted
+            # slices): a to_numpy on a string column materializes one Python
+            # object per row — measured ~15% of the whole scan; only one
+            # .as_py() per contiguous entity segment is needed instead
+            conv_col = rb.column(idx[entity_col])
             feats = rb.column(idx[features_col])
             vals = feats.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
             offs = feats.offsets.to_numpy(zero_copy_only=False)
@@ -383,10 +388,16 @@ def fold_weights_stream(
                 ts_arrow = ts_arrow.fill_null(_TS_NULL)
             tsb = ts_arrow.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
-            bounds = np.flatnonzero(convs[1:] != convs[:-1]) + 1
+            if rb.num_rows > 1:
+                neq = pa_compute.not_equal(
+                    conv_col.slice(1), conv_col.slice(0, rb.num_rows - 1)
+                )
+                bounds = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+            else:
+                bounds = np.empty(0, dtype=np.int64)
             segs = np.split(np.arange(rb.num_rows), bounds)
             for seg in segs:
-                conv = convs[seg[0]]
+                conv = conv_col[seg[0]].as_py()
                 if conv != cur_conv:
                     if cur_conv is not None and carry_X is not None:
                         run_windows(np.empty((0, m)), np.empty(0), np.empty(0, dtype=np.int64), final=True)
