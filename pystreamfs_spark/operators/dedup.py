@@ -22,7 +22,7 @@ oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pystreamfs_spark.functions.text import fingerprint
@@ -174,27 +174,40 @@ def ngram_jaccard_pairs(
     docs before pairing — the standard stop-shingle cut that bounds the
     inverted-index join's worst key (a shingle in d docs contributes d²/2
     pairs). Jaccard is then over the sub-max_df shingle sets; pairs whose
-    every shared shingle is ultra-frequent are not reported."""
+    every shared shingle is ultra-frequent are not reported.
+
+    Plan shape (deliberate): the shingle explode is expensive, so the plan
+    is arranged to compute it twice at most instead of once per consumer —
+    the df cut is a partial-agg + equi-join (map-side combined, AQE
+    skew-splittable; NOT a window over the shingle, which would buffer a
+    stop-shingle's whole group in one task, and NOT a broadcast of the rare
+    set, which is corpus-sized at 100 TB), per-doc set sizes ride along as a
+    window column through the self-join (no separate sizes branch to join
+    back twice), and the self-join's two sides are canonically identical so
+    Catalyst's ReuseExchange materializes the shuffle once."""
     sh = shingle_table(df, text_col, id_col, k)
     if max_df is not None:
-        rare = (
+        dfreq = (
             sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_df)
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        sh.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        sh = sh.join(dfreq, "shingle")
+    # post-filter set size per doc, carried on every row (pairs then read it
+    # with min() — constant within a pair group)
+    sh = sh.withColumn("__n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__n_sh").alias("__n_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__n_sh").alias("__n_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    ja = (
-        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("__n_a").alias("n_a"),
+            F.min("__n_b").alias("n_b"),
+        )
         .select(
             "id_a",
             "id_b",
@@ -204,7 +217,7 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
-    return ja.where(F.col("jaccard") >= threshold)
+    return pairs.where(F.col("jaccard") >= threshold)
 
 
 def simhash(
