@@ -47,6 +47,7 @@ STREAM_WEIGHTS_SCHEMA = StructType(
         StructField("w", ArrayType(DoubleType())),
         StructField("selected", ArrayType(IntegerType())),
         StructField("fscr", DoubleType()),
+        StructField("stability", DoubleType()),
         StructField("n_late", LongType()),
     ]
 )
@@ -57,6 +58,9 @@ _STATE_SCHEMA = StructType(
         StructField("carry_x", BinaryType()),
         StructField("carry_y", BinaryType()),
         StructField("prev_sel", BinaryType()),
+        # per-feature selection counts over this entity's completed windows —
+        # the sufficient statistic for a RUNNING Nogueira stability
+        StructField("sel_counts", BinaryType()),
         StructField("next_turn", LongType()),
         StructField("wid", LongType()),
         # late rows seen since the last completed window — accumulated across
@@ -64,6 +68,21 @@ _STATE_SCHEMA = StructType(
         StructField("n_late_acc", LongType()),
     ]
 )
+
+
+def _running_nogueira(counts, k: int, num_features: int) -> float | None:
+    """Nogueira stability (JMLR 2018 eq. 2) from selection counts over k
+    windows — identical closed form to operators.stability.nogueira_stability
+    with constant selection size d̄ = num_features."""
+    import numpy as np
+
+    m = counts.shape[0]
+    qbar = num_features / m
+    if k < 2 or qbar <= 0 or qbar >= 1:
+        return None
+    p = counts / k
+    s2_sum = float(np.sum((k / (k - 1)) * p * (1.0 - p)))
+    return 1.0 - (s2_sum / m) / (qbar * (1.0 - qbar))
 
 
 def stream_fold(
@@ -80,7 +99,11 @@ def stream_fold(
     """Streaming per-entity kernel fold. Input: a streaming DataFrame with
     (entity, turn_idx, features array<double>, label). Output: one row per
     *completed* window (partial tails stay in state until more rows arrive —
-    a stream has no "end of conversation")."""
+    a stream has no "end of conversation"), with in-stream FSCR (vs the
+    previous window) and a RUNNING Nogueira stability over all completed
+    windows so far — the per-feature selection counts are the sufficient
+    statistic and live in GroupState, so window t's stability equals the
+    batch ``nogueira_stability`` computed over windows 0..t."""
     if kernel not in KERNELS:
         raise ValueError(f"unknown kernel {kernel!r}; available: {sorted(KERNELS)}")
     kk = dict(kernel_kwargs or {})
@@ -90,16 +113,18 @@ def stream_fold(
     ) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
         if state.exists:
-            ks_b, cx_b, cy_b, ps_b, next_turn, wid, n_late_acc = state.get
+            ks_b, cx_b, cy_b, ps_b, sc_b, next_turn, wid, n_late_acc = state.get
             kstate = pickle.loads(ks_b)
             carry_X = pickle.loads(cx_b)
             carry_y = pickle.loads(cy_b)
             prev_sel = pickle.loads(ps_b)
+            sel_counts = pickle.loads(sc_b)
         else:
             kstate = None
             carry_X = None
             carry_y = None
             prev_sel = None
+            sel_counts = None
             next_turn = 0
             wid = 0
             n_late_acc = 0
@@ -114,6 +139,8 @@ def stream_fold(
             y = fresh[label_col].to_numpy(dtype=np.float64)
             if kstate is None:
                 kstate = init_state(kernel, X.shape[1], num_features=num_features, **kk)
+            if sel_counts is None:
+                sel_counts = np.zeros(X.shape[1], dtype=np.int64)
             if carry_X is not None and len(carry_X):
                 X = np.concatenate([carry_X, X])
                 y = np.concatenate([carry_y, y])
@@ -130,8 +157,19 @@ def stream_fold(
                     if prev_sel is None
                     else len(set(prev_sel).difference(set(sel))) / num_features
                 )
+                sel_counts[sel] += 1
+                stab = _running_nogueira(sel_counts, wid + 1, len(sel))
                 out.append(
-                    (conv_id, wid, batch_size, w.tolist(), [int(j) for j in sel], fscr_val, n_late)
+                    (
+                        conv_id,
+                        wid,
+                        batch_size,
+                        w.tolist(),
+                        [int(j) for j in sel],
+                        fscr_val,
+                        stab,
+                        n_late,
+                    )
                 )
                 prev_sel = [int(j) for j in sel]
                 n_late = 0
@@ -145,6 +183,7 @@ def stream_fold(
                 pickle.dumps(carry_X),
                 pickle.dumps(carry_y),
                 pickle.dumps(prev_sel),
+                pickle.dumps(sel_counts),
                 next_turn,
                 wid,
                 n_late,  # 0 if a window was emitted this batch; else carried

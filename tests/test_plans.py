@@ -6,6 +6,8 @@
 - the broadcast as-of path shuffles the probe side zero times
 """
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -82,3 +84,27 @@ def test_partition_pruning_on_date_layout(spark, tmp_path):
     text = explain_str(q)
     # the physical scan must carry the ds predicate as a PartitionFilter
     assert "PartitionFilters" in text and "ds" in text.split("PartitionFilters", 1)[1][:200], text[:2000]
+
+
+def test_ngram_jaccard_plan_budget(spark, sf_dir):
+    """The inverted-index jaccard must not recompute the shingle explode per
+    consumer (was 8 Generates) nor broadcast the rare-shingle set (corpus-
+    sized at real scale). Budget: ≤ 4 Generates in either join regime, and in
+    the no-broadcast (at-scale SMJ) regime the self-join sides dedupe via
+    ReuseExchange."""
+    from pystreamfs_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(d, k=3, threshold=0.2, max_df=100)
+    text = explain_str(out)
+    assert len(re.findall(r"^\(\d+\) Generate", text, flags=re.MULTILINE)) <= 4, text[:3000]
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out2 = ngram_jaccard_pairs(d, k=3, threshold=0.2, max_df=100)
+        out2.collect()  # AQE finalizes the executed plan
+        final = out2._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in final, final[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

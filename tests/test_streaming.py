@@ -74,6 +74,33 @@ def test_stream_fold_state_across_microbatches(spark, featurized, tmp_path):
     assert got == _batch_reference(featurized)
 
 
+def test_stream_stability_matches_batch_nogueira(spark, featurized, tmp_path):
+    """The running Nogueira per entity at its LAST completed stream window
+    must equal the batch nogueira_stability over exactly those windows."""
+    from pystreamfs_spark.operators import nogueira_stability
+
+    src = str(tmp_path / "stab_src")
+    featurized.select("conv_id", "turn_idx", "features", "label").coalesce(1).write.parquet(src)
+    got = _run_stream(spark, src, str(tmp_path / "stab_ckpt")).collect()
+    last = {}
+    for r in got:
+        if r.conv_id not in last or r.window_id > last[r.conv_id][0]:
+            last[r.conv_id] = (r.window_id, r.stability)
+
+    w = fold_weights(featurized, kernel="ofs", batch_size=10, num_features=5)
+    completed = w.where(F.col("win_rows") == 10)
+    batch = {
+        r.conv_id: r.stability for r in nogueira_stability(completed).collect()
+    }
+    assert set(last) == set(batch)
+    for cid, (_, stab) in last.items():
+        b = batch[cid]
+        if b is None or stab is None:
+            assert b == stab, cid
+        else:
+            assert abs(stab - b) < 1e-12, (cid, stab, b)
+
+
 def test_stream_fold_accumulates_late_counts(spark, tmp_path):
     """Late rows arriving in a micro-batch that completes NO window must not
     vanish from the n_late metric — they carry in state and surface on the
