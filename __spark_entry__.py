@@ -272,6 +272,30 @@ def q_fingerprint(spark, sf_dir):
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_token_estimate(spark, sf_dir):
+    from pystreamfs_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.bpe_token_estimate(F.col("text")).alias("bpe_tokens"))
+
+
+def q_corpus_clean(spark, sf_dir):
+    """Composed pipeline: quality-gate the corpus, then keep one
+    representative per exact-duplicate group — the standard first two passes
+    of a training-data cleanse, as ONE declarative plan."""
+    from pystreamfs_spark.functions import text as T
+    from pystreamfs_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    good = d.select("doc_id", "text", T.quality_score(F.col("text")).alias("__q")).where(
+        F.col("__q") >= 0.5
+    )
+    surv = exact_dedup(good)
+    return good.join(surv, good["doc_id"] == surv["keep_id"]).select(
+        "doc_id", F.round("__q", 6).alias("quality"), "n_dups"
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from pystreamfs_spark.operators.dedup import exact_dedup
 
@@ -434,6 +458,15 @@ def q_lsh_ann(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), F.col("rk").cast("int").alias("rk"))
 
 
+def q_ivf_ann(spark, sf_dir):
+    from pystreamfs_spark.operators.ann import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_cosine_topk(emb, q, k=5, n_cells=8, n_probe=2)
+    return out.select("query_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), F.col("rk").cast("int").alias("rk"))
+
+
 def q_embedding_near_dups(spark, sf_dir):
     from pystreamfs_spark.operators.ann import cosine_self_similar
 
@@ -477,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
         "fingerprint": q_fingerprint,
+        "token_estimate": q_token_estimate,
+        "corpus_clean": q_corpus_clean,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "minhash_candidates": q_minhash_candidates,
@@ -484,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near": q_simhash_near,
         "embed_topk": q_embed_topk,
+        "ivf_ann": q_ivf_ann,
         "fscr_sql": q_fscr_sql,
         "nogueira_sql": q_nogueira_sql,
         # kernel folds / Arrow UDF ops — rows-only checks
@@ -503,6 +539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# same regex the engine uses (functions/text.py::BPE_SPLIT_PATTERN),
+# SQL-escaped; restricted to the RE2 ∩ Java dialect so counts are identical
+_BPE_SQL = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+".replace("'", "''")
 _TOKS = f"string_split({_NORM}, ' ')"
 _STOPWORDS = (
     "['a','an','and','are','as','at','be','by','for','from','has','he','in','is','it',"
@@ -691,6 +730,32 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
         """,
+        "token_estimate": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS INT) AS bpe_tokens
+            FROM documents
+        """,
+        "corpus_clean": f"""
+            WITH s AS (
+              SELECT doc_id, {_NORM} AS norm,
+                     CAST(len(list_filter({_TOKS}, t -> list_contains({sw}, t))) AS DOUBLE)
+                       / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS swr,
+                     CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+                     CAST(length(text) AS DOUBLE) / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS cpt
+              FROM documents),
+            scored AS (
+              SELECT doc_id, norm,
+                     0.4 * least(swr * 4.0, 1.0)
+                   + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+                   + 0.3 * (CASE WHEN cpt >= 3.0 AND cpt <= 12.0 THEN 1.0 ELSE 0.0 END) AS q
+              FROM s),
+            good AS (SELECT doc_id, norm, q FROM scored WHERE q >= 0.5),
+            surv AS (SELECT md5(norm) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+                     FROM good GROUP BY 1)
+            SELECT g.doc_id, ROUND(g.q, 6) AS quality, surv.n_dups
+            FROM good g JOIN surv ON g.doc_id = surv.keep_id
+        """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
             FROM documents GROUP BY 1
@@ -828,6 +893,41 @@ def oracle_sql() -> dict[str, str]:
                   JOIN bucket bc ON bc.bucket = bq.bucket
                   JOIN c ON c.vec_id = bc.vec_id
                   WHERE c.vec_id != q.query_id),
+            r AS (SELECT query_id, vec_id, cos,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+                  FROM s)
+            SELECT query_id, vec_id, ROUND(cos, 6) AS cos, CAST(rk AS INT) AS rk
+            FROM r WHERE rk <= 5
+        """,
+        "ivf_ann": """
+            WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+            cent0 AS (SELECT vec_id, cv, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT 8),
+            cent AS (SELECT row_number() OVER (ORDER BY h) AS cell, cv AS centv FROM cent0),
+            casg AS (
+              SELECT vec_id, cell FROM (
+                SELECT c.vec_id, cent.cell,
+                       row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                         list_dot_product(c.cv, cent.centv)
+                           / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
+                         cent.cell) AS crk
+                FROM c, cent)
+              WHERE crk = 1),
+            qasg AS (
+              SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, cent.cell,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         list_dot_product(q.cv, cent.centv)
+                           / (sqrt(list_dot_product(q.cv, q.cv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
+                         cent.cell) AS crk
+                FROM (SELECT * FROM c WHERE vec_id < 8) q, cent)
+              WHERE crk <= 2),
+            s AS (SELECT qa.query_id, ca.vec_id,
+                         list_dot_product(qc.cv, cc.cv)
+                           / (sqrt(list_dot_product(qc.cv, qc.cv)) * sqrt(list_dot_product(cc.cv, cc.cv))) AS cos
+                  FROM qasg qa
+                  JOIN casg ca ON ca.cell = qa.cell AND ca.vec_id != qa.query_id
+                  JOIN c qc ON qc.vec_id = qa.query_id
+                  JOIN c cc ON cc.vec_id = ca.vec_id),
             r AS (SELECT query_id, vec_id, cos,
                          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
                   FROM s)

@@ -149,6 +149,9 @@ def main() -> None:
         "simhash_near": lambda: entry_queries["simhash_near"](spark, sf_dir).count(),
         "embed_topk": lambda: entry_queries["embed_topk"](spark, sf_dir).count(),
         "lsh_ann": lambda: entry_queries["lsh_ann"](spark, sf_dir).count(),
+        "ivf_ann": lambda: entry_queries["ivf_ann"](spark, sf_dir).count(),
+        "corpus_clean": lambda: entry_queries["corpus_clean"](spark, sf_dir).count(),
+        "token_estimate": lambda: entry_queries["token_estimate"](spark, sf_dir).count(),
         "doc_quality": lambda: entry_queries["doc_quality"](spark, sf_dir).count(),
         "multimodal_features": lambda: entry_queries["multimodal_features"](spark, sf_dir).count(),
     }

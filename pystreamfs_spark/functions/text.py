@@ -79,6 +79,21 @@ def lang_id(text: Column) -> Column:
     return F.when(stopword_ratio(text) >= 0.05, F.lit("en")).otherwise(F.lit("und"))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the RE2 ∩ Java-regex
+# dialect (no lookahead, ASCII classes) so Spark and DuckDB count the same
+# matches: contraction suffixes, space-prefixed letter runs, digit runs,
+# symbol runs, residual whitespace runs.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """Subword-ish token count: matches of the BPE pre-tokenizer split
+    pattern. Cheaper than a real BPE merge pass and within ~10-30% of GPT-2
+    counts on English prose — the standard budget estimator for training-data
+    pipelines. Pure regexp_count: JVM codegen, no Python."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN)).cast("int")
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     Identical hex in any engine; used as the exact-dedup key."""

@@ -9,6 +9,9 @@
   are bucketed by their sign pattern; each query probes only its bucket
   (multi-probe: optionally also Hamming-1 neighbors). Turns O(N·Q) into
   O(N/2^p · Q) per probe at recall < 1 — the standard ANN trade.
+- :func:`ivf_cosine_topk` — IVF: deterministic coarse centroids, map-only
+  cell assignment, n_probe nearest cells per query — the codebook-style ANN
+  scale path (swap in trained centroids for real recall tuning).
 - :func:`cosine_self_similar` — near-duplicate pairs by embedding cosine
   within LSH buckets (never all-pairs).
 """
@@ -97,6 +100,91 @@ def lsh_cosine_topk(
         query_id_col,
         id_col,
         cosine(F.col(vec_col), F.col("__qv")).alias("cos"),
+    )
+    return top_k_per_group(scored, [query_id_col], "cos", k, tie_breakers=[id_col])
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    their most-similar coarse centroid ("cell"); each query scores only the
+    vectors in its ``n_probe`` nearest cells. Recall trades against
+    n_probe/n_cells selectivity — the other classic ANN scale path next to
+    hyperplane LSH (:func:`lsh_cosine_topk`).
+
+    Coarse centroids are the ``n_cells`` corpus vectors with the smallest
+    ``md5(vec_id)`` — a deterministic, engine-portable surrogate for a
+    k-means codebook (reproducible in the SQL oracle; swap in trained
+    centroids by passing a 2-column (cell, vec) DataFrame the same way).
+    At scale: the centroid table is tiny and broadcast; assignment is a
+    map-side n_cells-way scoring pass over the corpus (inherent to IVF);
+    the probe join shuffles on the cell id — n_cells bounds the bucket
+    count, AQE splits skewed cells."""
+    from pyspark.sql import Window
+
+    cent = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(n_cells)
+    )
+    cent = cent.select(
+        F.row_number().over(Window.orderBy("__h")).alias("cell"),
+        F.col(vec_col).alias("__cv"),
+    )
+    # one broadcast row holding all centroids → cell assignment is a pure
+    # map stage (zero shuffle of the corpus): per row, rank cells by
+    # (sim desc, cell asc) inside a sorted struct array
+    cent_row = cent.agg(F.collect_list(F.struct("cell", "__cv")).alias("__cells"))
+
+    def ranked_cells():
+        # struct ordering is field-by-field: (sim, -cell) descending ≡
+        # best similarity first, smaller cell id on ties
+        return F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("__cells"),
+                    lambda s: F.struct(
+                        cosine(F.col(vec_col), s["__cv"]).alias("sim"),
+                        (-s["cell"]).alias("negcell"),
+                    ),
+                )
+            )
+        )
+
+    cb = (
+        corpus.crossJoin(F.broadcast(cent_row))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-F.element_at(ranked_cells(), 1)["negcell"]).alias("cell"),
+        )
+    )
+    qb = (
+        queries.select(F.col(query_id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cent_row))
+        .select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qv"),
+            F.explode(
+                F.transform(
+                    F.slice(ranked_cells(), 1, n_probe), lambda s: -s["negcell"]
+                )
+            ).alias("cell"),
+        )
+    )
+    scored = (
+        cb.join(qb, "cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
     )
     return top_k_per_group(scored, [query_id_col], "cos", k, tie_breakers=[id_col])
 
