@@ -56,7 +56,10 @@ def main() -> None:
 
     only_env = os.environ.get("BENCH_ONLY")
     only = {s.strip() for s in only_env.split(",")} if only_env else None
-    needs_fold = only is None or any(q.startswith(("fold_", "stability", "featurize")) for q in only)
+    needs_fold = only is None or any(
+        q.startswith(("fold_", "stability", "featurize", "prequential", "minhash_scale"))
+        for q in only
+    )
 
     n_convs = int(os.environ.get("BENCH_NCONVS", str(max(200, int(200_000 * sf)))))
     n_turns = 0
@@ -117,7 +120,9 @@ def main() -> None:
         from pystreamfs_spark.operators.dedup import minhash_lsh_candidates
 
         docs = transcripts.select(F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text")
-        return minhash_lsh_candidates(docs, n_bands=8, k=3, band_r=2, max_bucket_size=200).count()
+        return minhash_lsh_candidates(
+            docs, n_bands=8, k=3, band_r=2, max_bucket_size=200, hash_fn="xxhash64"
+        ).count()
 
     def featurize_run() -> int:
         # fresh featurization (not the cache): forces full column compute
