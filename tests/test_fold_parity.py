@@ -89,3 +89,42 @@ def test_accuracy_parity_ofs(featurized, per_conv_matrices):
         ora = simulate(X, y, kernel="ofs", batch_size=BATCH, num_features=NUM_FEATURES, with_accuracy=True)
         for wid, acc in enumerate(ora["acc"]):
             assert eng[conv_id][wid].acc == pytest.approx(acc, abs=1e-12)
+
+
+def test_knn_argpartition_matches_full_stable_argsort():
+    """knn_accuracy selects neighbors via argpartition + radius gather; on
+    tie-heavy integer data it must equal the naive full stable argsort rule
+    (equal distances -> smallest train index) exactly."""
+    import numpy as np
+
+    from pystreamfs_spark.classify import knn_accuracy
+
+    def naive(x_train, y_train, x_test, y_test, k=5):
+        kk = min(k, x_train.shape[0])
+        d2 = (
+            np.sum(x_test**2, axis=1)[:, None]
+            - 2.0 * (x_test @ x_train.T)
+            + np.sum(x_train**2, axis=1)[None, :]
+        )
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+        votes = y_train[idx]
+        correct = 0
+        for r in range(votes.shape[0]):
+            labels, counts = np.unique(votes[r], return_counts=True)
+            if labels[np.argmax(counts)] == y_test[r]:
+                correct += 1
+        return correct / max(1, x_test.shape[0])
+
+    rng = np.random.default_rng(0)
+    for trial in range(30):
+        n_tr = int(rng.integers(1, 40))
+        n_te = int(rng.integers(1, 15))
+        m = int(rng.integers(1, 5))
+        # small-integer coordinates -> many exact distance ties
+        x_train = rng.integers(0, 3, size=(n_tr, m)).astype(np.float64)
+        y_train = rng.integers(0, 3, size=n_tr).astype(np.float64)
+        x_test = rng.integers(0, 3, size=(n_te, m)).astype(np.float64)
+        y_test = rng.integers(0, 3, size=n_te).astype(np.float64)
+        a = knn_accuracy(x_train, y_train, x_test, y_test, k=5)
+        b = naive(x_train, y_train, x_test, y_test, k=5)
+        assert a == b, (trial, a, b)
