@@ -240,6 +240,62 @@ def q_top_customers(spark, sf_dir):
     )
 
 
+def q_value_quantiles(spark, sf_dir):
+    """Exact (interpolated) percentiles per group — Spark `percentile` and
+    DuckDB `quantile_cont` share the continuous-interpolation definition."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Two-level ROLLUP with grouping indicators (subtotal + grand-total
+    rows) — the OLAP aggregation shape Catalyst expands to grouping sets."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("n_name", F.year("o_orderdate").alias("o_year"), "o_totalprice")
+    )
+    return j.rollup("n_name", "o_year").agg(
+        F.grouping("n_name").cast("int").alias("g_name"),
+        F.grouping("o_year").cast("int").alias("g_year"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def q_event_pivot(spark, sf_dir):
+    """Pivot (wide conditional aggregation): per-user event-type counts."""
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("bigint").alias(f"n_{k}") for k in kinds],
+    )
+
+
+def q_parts_never_ordered(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): parts with no lineitem in 1995H1."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ordered = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where((F.col("o_orderdate") >= F.lit("1995-01-01")) & (F.col("o_orderdate") < F.lit("1995-07-01")))
+        .select("l_partkey")
+    )
+    return p.join(ordered, p["p_partkey"] == ordered["l_partkey"], "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
 def q_doc_stats(spark, sf_dir):
     from pystreamfs_spark.functions import text as T
 
@@ -507,6 +563,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
         "top_customers": q_top_customers,
+        "value_quantiles": q_value_quantiles,
+        "rollup_revenue": q_rollup_revenue,
+        "event_pivot": q_event_pivot,
+        "parts_never_ordered": q_parts_never_ordered,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
         "fingerprint": q_fingerprint,
@@ -701,6 +761,44 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rk
                   FROM per_cust)
             WHERE rk <= 3
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.9), 6) AS p90,
+                   ROUND(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "rollup_revenue": """
+            WITH j AS (
+              SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey)
+            SELECT n_name, o_year,
+                   CAST(GROUPING(n_name) AS INT) AS g_name,
+                   CAST(GROUPING(o_year) AS INT) AS g_year,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM j GROUP BY ROLLUP (n_name, o_year)
+        """,
+        "event_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+                   COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+                   COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "parts_never_ordered": """
+            SELECT p_partkey, p_name FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_partkey = p.p_partkey
+                AND o.o_orderdate >= DATE '1995-01-01'
+                AND o.o_orderdate <  DATE '1995-07-01')
         """,
         "doc_stats": f"""
             SELECT doc_id,
