@@ -296,6 +296,32 @@ def q_parts_never_ordered(spark, sf_dir):
     )
 
 
+def q_parts_ordered_semi(spark, sf_dir):
+    """Left-semi join (EXISTS): parts with ≥1 lineitem in 1995H1 — the
+    complement of q_parts_never_ordered."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ordered = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where((F.col("o_orderdate") >= F.lit("1995-01-01")) & (F.col("o_orderdate") < F.lit("1995-07-01")))
+        .select("l_partkey")
+    )
+    return p.join(ordered, p["p_partkey"] == ordered["l_partkey"], "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+def q_click_purchase_days(spark, sf_dir):
+    """Relation-level INTERSECT (distinct semantics): (user, day) pairs with
+    both a click and a purchase."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", day)
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.intersect(buys)
+
+
 def q_doc_stats(spark, sf_dir):
     from pystreamfs_spark.functions import text as T
 
@@ -567,6 +593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "event_pivot": q_event_pivot,
         "parts_never_ordered": q_parts_never_ordered,
+        "parts_ordered_semi": q_parts_ordered_semi,
+        "click_purchase_days": q_click_purchase_days,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
         "fingerprint": q_fingerprint,
@@ -799,6 +827,22 @@ def oracle_sql() -> dict[str, str]:
               WHERE l.l_partkey = p.p_partkey
                 AND o.o_orderdate >= DATE '1995-01-01'
                 AND o.o_orderdate <  DATE '1995-07-01')
+        """,
+        "parts_ordered_semi": """
+            SELECT p_partkey, p_name FROM part p
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_partkey = p.p_partkey
+                AND o.o_orderdate >= DATE '1995-01-01'
+                AND o.o_orderdate <  DATE '1995-07-01')
+        """,
+        "click_purchase_days": """
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events WHERE event_type = 'purchase'
         """,
         "doc_stats": f"""
             SELECT doc_id,

@@ -176,7 +176,9 @@ def main() -> None:
             fold_run("efs", {})
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    # best-of-2 by default: this VM's CPU-speed phases swing single-shot
+    # entry timings up to 7x; the repeat is one-sided-noise insurance
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     for name, fn in suite.items():
         best = float("inf")
