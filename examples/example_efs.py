@@ -1,0 +1,16 @@
+"""Engine analog of the reference's examples/example_efs.py: stream a dense numeric
+table through the EFS kernel (batch_size=50, num_features=5), prequential
+accuracy + FSCR + run averages printed instead of plotted.
+
+    python examples/example_efs.py [path/to/data.csv]   # col 0 = target
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from examples._common import run_example
+
+if __name__ == "__main__":
+    run_example("efs", kernel_kwargs={})
