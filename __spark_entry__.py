@@ -515,6 +515,20 @@ def q_prequential_ofs(spark, sf_dir):
     return out.select("conv_id", "window_id", F.round(F.col("acc"), 6).alias("acc"), "train_rows")
 
 
+def q_prequential_stream(spark, sf_dir):
+    """Streaming-scan prequential evaluation with a bounded prefix buffer
+    (max_train_rows) — the 100 TB path for accuracy metering; exact parity
+    with the grouped fold at the same cap (tests/test_fold_parity.py)."""
+    from pystreamfs_spark.fold import fold_weights_stream
+    from pystreamfs_spark.functions import featurize_turns
+
+    f = featurize_turns(_transcripts(spark, sf_dir))
+    out = fold_weights_stream(
+        f, kernel="ofs", batch_size=BATCH, num_features=5, with_accuracy=True, max_train_rows=200
+    )
+    return out.select("conv_id", "window_id", F.round(F.col("acc"), 6).alias("acc"), "train_rows")
+
+
 def q_multimodal_features(spark, sf_dir):
     from pystreamfs_spark.functions.multimodal import extract_image_features, synthesize_media
 
@@ -620,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fscr_kernel": q_fscr_kernel,
         "nogueira_kernel": q_nogueira_kernel,
         "prequential_ofs": q_prequential_ofs,
+        "prequential_stream": q_prequential_stream,
         "multimodal_features": q_multimodal_features,
         "lsh_ann": q_lsh_ann,
         "embedding_near_dups": q_embedding_near_dups,

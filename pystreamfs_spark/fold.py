@@ -257,12 +257,21 @@ def fold_weights_stream(
     label_col: str = "label",
     ts_col: str = "ts",
     assume_partitioned: bool = False,
+    with_accuracy: bool = False,
+    max_train_rows: int | None = None,
 ) -> DataFrame:
     """Partition-streaming fold: hash-partition by entity, sort within
     partitions, then scan Arrow batches carrying kernel state across batch
     and conversation boundaries. Bounded memory per task regardless of
-    conversation length (accuracy evaluation, which needs the full prefix,
-    is deliberately unsupported here — use :func:`fold_weights`).
+    conversation length.
+
+    ``with_accuracy=True`` adds prequential evaluation with a BOUNDED prefix:
+    ``max_train_rows`` is required and caps the per-entity training buffer to
+    its most recent rows (memory stays O(max_train_rows·m + batch)). Within
+    that cap the semantics equal :func:`fold_weights`'s (strict prefix, t=0
+    train==test quirk); entities longer than the cap train on the capped
+    suffix — the same documented deviation as ``fold_weights(max_train_rows=)``.
+    Use :func:`fold_weights` when the faithful unbounded prefix is required.
 
     ``assume_partitioned=True`` skips the repartition+sort when the caller
     guarantees the input is already partitioned by ``entity_col`` and sorted
@@ -272,6 +281,12 @@ def fold_weights_stream(
     """
     if kernel not in KERNELS:
         raise ValueError(f"unknown kernel {kernel!r}; available: {sorted(KERNELS)}")
+    if with_accuracy and max_train_rows is None:
+        raise ValueError(
+            "fold_weights_stream(with_accuracy=True) requires max_train_rows — "
+            "the streaming scan keeps a bounded prefix buffer; use fold_weights "
+            "for the unbounded faithful prefix"
+        )
     kk = dict(kernel_kwargs or {})
     order = list(order_cols)
     cols = list(dict.fromkeys([entity_col, *order, features_col, label_col, ts_col]))
@@ -293,6 +308,12 @@ def fold_weights_stream(
         carry_y: np.ndarray | None = None
         carry_last_ts = 0
         m_holder = [0]
+        # bounded prequential buffer (with_accuracy): the most recent
+        # max_train_rows rows of the current entity that have completed a
+        # window — the capped strict prefix
+        buf_X: np.ndarray | None = None
+        buf_y: np.ndarray | None = None
+        rows_seen = 0
 
         # per-output-batch accumulators (plain python lists → arrow arrays)
         o_conv: list = []
@@ -301,10 +322,13 @@ def fold_weights_stream(
         o_ts: list[int] = []
         o_w: list[np.ndarray] = []
         o_sel: list[np.ndarray] = []
+        o_acc: list = []
+        o_train: list[int] = []
         o_elapsed: list[float] = []
 
         def run_windows(X, y, ts, final):
             nonlocal state, wid, carry_X, carry_y, carry_last_ts
+            nonlocal buf_X, buf_y, rows_seen
             if carry_X is not None and len(carry_X):
                 X = np.concatenate([carry_X, X]) if len(X) else carry_X
                 y = np.concatenate([carry_y, y]) if len(y) else carry_y
@@ -317,12 +341,34 @@ def fold_weights_stream(
                 t0 = time.perf_counter()
                 state, w = update(kernel, state, X[start:stop], y[start:stop])
                 selected = select_top_m(w, num_features)
+                acc = None
+                trows = 0
+                if with_accuracy:
+                    from pystreamfs_spark.classify import knn_accuracy
+
+                    x_test = X[start:stop][:, selected]
+                    y_test = y[start:stop]
+                    if rows_seen == 0:  # t=0 quirk: train = test (utils.py:39-42)
+                        acc = knn_accuracy(x_test, y_test, x_test, y_test)
+                        trows = stop - start
+                    else:
+                        acc = knn_accuracy(buf_X[:, selected], buf_y, x_test, y_test)
+                        trows = rows_seen  # full-prefix count, like fold_weights
+                    win_X, win_y = X[start:stop], y[start:stop]
+                    buf_X = win_X if buf_X is None else np.concatenate([buf_X, win_X])
+                    buf_y = win_y if buf_y is None else np.concatenate([buf_y, win_y])
+                    if len(buf_X) > max_train_rows:
+                        buf_X = buf_X[-max_train_rows:].copy()
+                        buf_y = buf_y[-max_train_rows:].copy()
+                    rows_seen += stop - start
                 o_conv.append(cur_conv)
                 o_wid.append(wid)
                 o_rows.append(stop - start)
                 o_ts.append(int(ts[stop - 1]))
                 o_w.append(w)
                 o_sel.append(selected)
+                o_acc.append(acc)
+                o_train.append(trows)
                 o_elapsed.append(time.perf_counter() - t0)
                 wid += 1
                 start = stop
@@ -331,7 +377,7 @@ def fold_weights_stream(
                 carry_last_ts = int(ts[-1])
 
         def flush_output() -> "pa.RecordBatch":
-            nonlocal o_conv, o_wid, o_rows, o_ts, o_w, o_sel, o_elapsed
+            nonlocal o_conv, o_wid, o_rows, o_ts, o_w, o_sel, o_acc, o_train, o_elapsed
             k = len(o_conv)
             w_flat = np.concatenate(o_w) if o_w else np.empty(0)
             sel_flat = np.concatenate(o_sel).astype(np.int32) if o_sel else np.empty(0, np.int32)
@@ -352,14 +398,15 @@ def fold_weights_stream(
                     ).cast(ts_type),
                     pa.ListArray.from_arrays(pa.array(w_off), pa.array(w_flat, type=pa.float64()), type=out_type_w),
                     pa.ListArray.from_arrays(pa.array(sel_off), pa.array(sel_flat, type=pa.int32()), type=out_type_sel),
-                    pa.nulls(k, pa.float64()),
-                    pa.array(np.zeros(k, dtype=np.int64)),
+                    pa.array(o_acc, type=pa.float64()),
+                    pa.array(o_train, type=pa.int64()),
                     pa.array(o_elapsed, type=pa.float64()),
                     pa.array(np.full(k, mem, dtype=np.int64)),
                 ],
                 names=[f.name for f in WEIGHTS_SCHEMA.fields],
             )
             o_conv, o_wid, o_rows, o_ts, o_w, o_sel, o_elapsed = [], [], [], [], [], [], []
+            o_acc, o_train = [], []
             return batch
 
         idx = None
@@ -404,6 +451,8 @@ def fold_weights_stream(
                     cur_conv = conv
                     state = init_state(kernel, m, num_features=num_features, **kk)
                     wid = 0
+                    buf_X = buf_y = None
+                    rows_seen = 0
                 run_windows(Xb[seg[0] : seg[-1] + 1], yb[seg[0] : seg[-1] + 1], tsb[seg[0] : seg[-1] + 1], final=False)
             if o_conv:
                 yield flush_output()

@@ -128,3 +128,47 @@ def test_knn_argpartition_matches_full_stable_argsort():
         a = knn_accuracy(x_train, y_train, x_test, y_test, k=5)
         b = naive(x_train, y_train, x_test, y_test, k=5)
         assert a == b, (trial, a, b)
+
+
+def test_stream_accuracy_matches_grouped_capped(spark):
+    """fold_weights_stream(with_accuracy, max_train_rows=M) must equal
+    fold_weights(with_accuracy, max_train_rows=M) exactly — including the
+    t=0 train==test quirk, the capped-prefix training set, and the reported
+    full-prefix train_rows — even across tiny Arrow batch boundaries."""
+    from pystreamfs_spark.fold import fold_weights, fold_weights_stream
+    from pystreamfs_spark.functions.features import featurize_turns
+    from pystreamfs_spark.sources.transcripts import synthesize_transcripts
+
+    f = featurize_turns(synthesize_transcripts(spark, n_convs=12, seed=11)).cache()
+    M = 30  # smaller than long conversations -> the cap actually bites
+    grouped = {
+        (r.conv_id, r.window_id): (r.acc, r.train_rows, tuple(r.selected))
+        for r in fold_weights(
+            f, kernel="ofs", batch_size=12, with_accuracy=True, max_train_rows=M
+        ).collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        streamed = {
+            (r.conv_id, r.window_id): (r.acc, r.train_rows, tuple(r.selected))
+            for r in fold_weights_stream(
+                f, kernel="ofs", batch_size=12, with_accuracy=True, max_train_rows=M
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert streamed == grouped
+    assert any(v[1] > M for v in grouped.values())  # cap exercised
+
+
+def test_stream_accuracy_requires_cap(spark):
+    import pytest
+
+    from pystreamfs_spark.fold import fold_weights_stream
+    from pystreamfs_spark.functions.features import featurize_turns
+    from pystreamfs_spark.sources.transcripts import synthesize_transcripts
+
+    f = featurize_turns(synthesize_transcripts(spark, n_convs=2, seed=1))
+    with pytest.raises(ValueError, match="max_train_rows"):
+        fold_weights_stream(f, with_accuracy=True)
