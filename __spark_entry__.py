@@ -296,6 +296,27 @@ def q_parts_never_ordered(spark, sf_dir):
     )
 
 
+def q_daily_distinct_users(spark, sf_dir):
+    """COUNT(DISTINCT) per group — the two-phase distinct-aggregate shuffle
+    shape (partial distinct map-side, exact merge)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_click_only_days(spark, sf_dir):
+    """Relation-level EXCEPT (distinct semantics): (user, day) pairs with a
+    click but no purchase — completes the INTERSECT/EXCEPT/UNION set-op
+    family next to q_click_purchase_days."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", day)
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.subtract(buys)  # EXCEPT (distinct) semantics
+
+
 def q_parts_ordered_semi(spark, sf_dir):
     """Left-semi join (EXISTS): parts with ≥1 lineitem in 1995H1 — the
     complement of q_parts_never_ordered."""
@@ -607,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "event_pivot": q_event_pivot,
         "parts_never_ordered": q_parts_never_ordered,
+        "daily_distinct_users": q_daily_distinct_users,
+        "click_only_days": q_click_only_days,
         "parts_ordered_semi": q_parts_ordered_semi,
         "click_purchase_days": q_click_purchase_days,
         "doc_stats": q_doc_stats,
@@ -842,6 +865,19 @@ def oracle_sql() -> dict[str, str]:
               WHERE l.l_partkey = p.p_partkey
                 AND o.o_orderdate >= DATE '1995-01-01'
                 AND o.o_orderdate <  DATE '1995-07-01')
+        """,
+        "daily_distinct_users": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "click_only_days": """
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events WHERE event_type = 'purchase'
         """,
         "parts_ordered_semi": """
             SELECT p_partkey, p_name FROM part p

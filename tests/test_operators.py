@@ -208,3 +208,23 @@ def test_minhash_band_r2_and_bucket_cap(spark, sf_dir):
     assert capped <= r1
     sigs = minhash_signatures(d, n_bands=4, band_r=2)
     assert sigs.groupBy("doc_id").count().select(F.max("count")).first()[0] == 4
+
+
+def test_simhash_near_matches_bruteforce(spark, sf_dir):
+    """Probe-expansion completeness: simhash_near_duplicates(d=1) must emit
+    exactly the pairs a brute-force all-pairs Hamming check finds, each once."""
+    from pystreamfs_spark.operators.dedup import simhash, simhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200).cache()
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, n_bits=16).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 1
+    }
+    got_rows = simhash_near_duplicates(docs, n_bits=16, d=1).collect()
+    got = {(r.id_a, r.id_b, r.hamming) for r in got_rows}
+    assert len(got_rows) == len(got)  # each pair exactly once
+    assert got == brute
