@@ -566,6 +566,35 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_video_frames(spark, sf_dir):
+    from pystreamfs_spark.functions.multimodal import sample_frame_features, synthesize_media
+
+    media = synthesize_media(spark, n_rows=128, seed=42)
+    out = sample_frame_features(media, n_frames=4, frame_interval_s=1.0)
+    return out.select(
+        "media_id",
+        "kind",
+        "frame_idx",
+        "ts_offset_s",
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + F.abs(x)), 6).alias("emb_l1"),
+    )
+
+
+def q_resized_features(spark, sf_dir):
+    from pystreamfs_spark.functions.multimodal import resize_image_features, synthesize_media
+
+    media = synthesize_media(spark, n_rows=128, seed=42)
+    out = resize_image_features(media, 64, 64)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + F.abs(x)), 6).alias("emb_l1"),
+    )
+
+
 def q_lsh_ann(spark, sf_dir):
     from pystreamfs_spark.operators.ann import lsh_cosine_topk
 
@@ -659,6 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prequential_ofs": q_prequential_ofs,
         "prequential_stream": q_prequential_stream,
         "multimodal_features": q_multimodal_features,
+        "video_frames": q_video_frames,
+        "resized_features": q_resized_features,
         "lsh_ann": q_lsh_ann,
         "embedding_near_dups": q_embedding_near_dups,
     }

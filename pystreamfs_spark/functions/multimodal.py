@@ -123,6 +123,128 @@ def extract_image_features(
     return df.select(id_col, kind_col, payload_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_offset_s", DoubleType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+_FRAME_STRIDE = np.uint64(0xD1B54A32D192ED03)  # distinct counter plane per frame
+
+
+def _frame_embeddings(payloads: list[bytes], n_frames: int, emb_dim: int) -> np.ndarray:
+    """STUB frame decoder, batch form: frame f of a payload gets features
+    from the same counter-mode PRNG as :func:`_decode_batch` with the
+    counter offset into frame plane f — deterministic per (payload, frame),
+    independent of batching/partitioning. A real decoder would seek and
+    decode keyframes here. Returns (n_rows, n_frames, emb_dim)."""
+    n = len(payloads)
+    digests = b"".join(hashlib.md5(p).digest() for p in payloads)
+    raw = np.frombuffer(digests, dtype=np.uint8).reshape(n, 16)
+    seeds = raw[:, 2:10].copy().view(np.uint64).ravel()
+    half = (emb_dim + 1) // 2
+    ctr = np.arange(1, 2 * half + 1, dtype=np.uint64) * _GOLD
+    frame_off = np.arange(n_frames, dtype=np.uint64) * _FRAME_STRIDE
+    # (n, n_frames, slots) wrapped-add counter grid, one mix per cell
+    words = _mix64(seeds[:, None, None] + frame_off[None, :, None] + ctr[None, None, :])
+    u = (words >> np.uint64(11)).astype(np.float64) * 2.0**-53
+    u1 = np.clip(u[..., :half], 1e-300, None)
+    u2 = u[..., half:]
+    r = np.sqrt(-2.0 * np.log(u1))
+    emb = np.concatenate([r * np.cos(2 * np.pi * u2), r * np.sin(2 * np.pi * u2)], axis=2)[..., :emb_dim]
+    norms = np.linalg.norm(emb, axis=2, keepdims=True)
+    return emb / np.where(norms == 0, 1.0, norms)
+
+
+def sample_frame_features(
+    df: DataFrame,
+    n_frames: int = 4,
+    frame_interval_s: float = 1.0,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    kind_col: str = "kind",
+    emb_dim: int = 16,
+) -> DataFrame:
+    """Frame sampling: each media row explodes into ``n_frames`` feature
+    rows (frame_idx, ts_offset_s, embedding) — the temporal-media twin of
+    :func:`extract_image_features`. The fan-out happens INSIDE the Arrow
+    batch (one mapInPandas pass, no join/explode shuffle); output rows are
+    n_frames× the input, so size upstream partitions accordingly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            data = [bytes(p) if p is not None else b"" for p in pdf[payload_col]]
+            emb = _frame_embeddings(data, n_frames, emb_dim)  # (n, F, d)
+            n = len(data)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), n_frames),
+                    "kind": np.repeat(pdf[kind_col].astype(str).to_numpy(), n_frames),
+                    "frame_idx": np.tile(np.arange(n_frames, dtype=np.int32), n),
+                    "ts_offset_s": np.tile(
+                        np.arange(n_frames, dtype=np.float64) * frame_interval_s, n
+                    ),
+                    "embedding": list(emb.reshape(n * n_frames, emb_dim)),
+                }
+            )
+
+    return df.select(id_col, kind_col, payload_col).mapInPandas(run, FRAME_FEATURES_SCHEMA)
+
+
+def resize_image_features(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    kind_col: str = "kind",
+    emb_dim: int = 16,
+) -> DataFrame:
+    """Resize-then-featurize: features of the payload AS RENDERED at
+    (target_w, target_h) — a real pipeline re-extracts after resizing, so the
+    stub derives the embedding from (payload digest, target dims) rather than
+    reusing the native-size features. Same IMAGE_FEATURES_SCHEMA with
+    width/height pinned to the targets."""
+
+    dims_off = np.uint64((target_w << 20) ^ target_h) * _FRAME_STRIDE
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            data = [bytes(p) if p is not None else b"" for p in pdf[payload_col]]
+            n = len(data)
+            digests = b"".join(hashlib.md5(p).digest() for p in data)
+            raw = np.frombuffer(digests, dtype=np.uint8).reshape(n, 16)
+            seeds = raw[:, 2:10].copy().view(np.uint64).ravel() + dims_off
+            half = (emb_dim + 1) // 2
+            ctr = np.arange(1, 2 * half + 1, dtype=np.uint64) * _GOLD
+            words = _mix64(seeds[:, None] + ctr[None, :])
+            u = (words >> np.uint64(11)).astype(np.float64) * 2.0**-53
+            u1 = np.clip(u[:, :half], 1e-300, None)
+            u2 = u[:, half:]
+            r = np.sqrt(-2.0 * np.log(u1))
+            emb = np.concatenate(
+                [r * np.cos(2 * np.pi * u2), r * np.sin(2 * np.pi * u2)], axis=1
+            )[:, :emb_dim]
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.where(norms == 0, 1.0, norms)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "kind": pdf[kind_col].astype(str),
+                    "n_bytes": np.fromiter((len(b) for b in data), dtype=np.int64, count=n),
+                    "width": np.full(n, target_w, dtype=np.int32),
+                    "height": np.full(n, target_h, dtype=np.int32),
+                    "embedding": list(emb),
+                }
+            )
+
+    return df.select(id_col, kind_col, payload_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
 def synthesize_media(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (binary payloads) for tests/benches."""
     from pyspark.sql import functions as F
