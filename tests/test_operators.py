@@ -228,3 +228,22 @@ def test_simhash_near_matches_bruteforce(spark, sf_dir):
     got = {(r.id_a, r.id_b, r.hamming) for r in got_rows}
     assert len(got_rows) == len(got)  # each pair exactly once
     assert got == brute
+
+
+def test_simhash_near_d2_matches_bruteforce(spark, sf_dir):
+    """d=2 widening (137 probes/doc): same exactly-once brute-force contract."""
+    from pystreamfs_spark.operators.dedup import simhash, simhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80).cache()
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, n_bits=16).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 2
+    }
+    got_rows = simhash_near_duplicates(docs, n_bits=16, d=2).collect()
+    got = {(r.id_a, r.id_b, r.hamming) for r in got_rows}
+    assert len(got_rows) == len(got)
+    assert got == brute
