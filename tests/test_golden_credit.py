@@ -14,6 +14,11 @@ from pystreamfs_spark.fold import fold_weights, fold_weights_stream
 
 CSV = "/root/reference/datasets/credit.csv"
 
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.exists(CSV),
+    reason="reference credit.csv fixture not present (standalone checkout)",
+)
+
 
 @pytest.fixture(scope="module")
 def credit():
