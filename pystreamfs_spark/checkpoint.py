@@ -11,7 +11,10 @@ so each epoch is an independently-committable unit of the fold. A commit is:
    protocol makes the directory appear atomically),
 2. write lineage + metrics for the epoch,
 3. append a one-line JSON record to the ledger ``<out>/_ledger/K.json``
-   (rename-free: the file's existence IS the commit marker).
+   via a tmp-file + atomic-rename protocol (the final file's existence IS
+   the commit marker; the rename is atomic on HDFS/posix and its boolean
+   result is checked — a false return raises instead of silently leaving
+   the epoch uncommitted).
 
 Resume = skip every epoch whose ledger record exists (the relational
 equivalent of a left-anti join of work units against the committed ledger).
@@ -120,7 +123,10 @@ class CheckpointedFold:
         finally:
             stream.close()
         fs.delete(final, False)  # idempotent re-commit: clear stale marker
-        fs.rename(tmp, final)  # atomic on HDFS/posix; the file IS the commit
+        # Hadoop FileSystem.rename signals failure by returning false, not
+        # raising — ignoring it would silently demote a committed epoch.
+        if not fs.rename(tmp, final):
+            raise IOError(f"ledger rename failed for epoch {epoch}: {tmp} -> {final}")
 
     # --- run --------------------------------------------------------------
     def run(
@@ -133,24 +139,47 @@ class CheckpointedFold:
         max_epochs_this_run: int | None = None,
     ) -> list[int]:
         """Execute every uncommitted epoch (optionally capped — used by the
-        interrupt/resume test). Returns the epochs committed by THIS call."""
+        interrupt/resume test). Returns the epochs committed by THIS call.
+
+        Single-scan: the source is scanned and folded ONCE per ``run()``
+        call, covering every todo epoch in one job (epochs partition
+        *entities*, so folding them together is exactly the per-epoch fold).
+        The fold output — per-window weight rows, orders of magnitude
+        smaller than the input — is cached, and the per-epoch loop below
+        filters that cache to write + commit each epoch independently. At
+        100 TB and n_epochs=8 this is 1 scan + 1 shuffle instead of 8+8;
+        resume semantics are unchanged (a crash between per-epoch writes
+        leaves later epochs uncommitted, and the next run() re-folds only
+        those in one new scan).
+        """
         from pystreamfs_spark.fold import fold_weights_stream
 
         todo = [e for e in range(self.n_epochs) if e not in self.committed_epochs()]
         if max_epochs_this_run is not None:
             todo = todo[:max_epochs_this_run]
-        done: list[int] = []
-        tagged = featurized.withColumn("__epoch", epoch_of(self.entity_col, self.n_epochs, self.seed))
-        for epoch in todo:
-            t0 = time.perf_counter()
-            sub = tagged.where(F.col("__epoch") == epoch).drop("__epoch")
-            weights = fold_weights_stream(
+        if not todo:
+            return []
+        ep = epoch_of(self.entity_col, self.n_epochs, self.seed)
+        sub = featurized if len(todo) == self.n_epochs else featurized.where(ep.isin([*todo]))
+        t0 = time.perf_counter()
+        weights_all = (
+            fold_weights_stream(
                 sub,
                 kernel=kernel,
                 batch_size=batch_size,
                 num_features=num_features,
                 kernel_kwargs=kernel_kwargs,
-            ).cache()
+            )
+            .withColumn("__epoch", ep)
+            .cache()
+        )
+        weights_all.count()  # materialize: the one scan+fold of the source
+        fold_sec = round(time.perf_counter() - t0, 3)
+        self._last_fold_plan = weights_all  # introspection hook (plan-shape tests)
+        done: list[int] = []
+        for epoch in todo:
+            t1 = time.perf_counter()
+            weights = weights_all.where(F.col("__epoch") == epoch).drop("__epoch")
             wpath = os.path.join(self.out_dir, "weights", f"epoch={epoch}")
             weights.write.mode("overwrite").parquet(wpath)
             lineage_rows(weights, self.entity_col).write.mode("overwrite").parquet(
@@ -160,18 +189,19 @@ class CheckpointedFold:
                 os.path.join(self.out_dir, "metrics", f"epoch={epoch}")
             )
             n = weights.count()
-            weights.unpersist()
             self._commit(
                 epoch,
                 {
                     "epoch": epoch,
                     "kernel": kernel,
                     "n_windows": n,
-                    "elapsed_sec": round(time.perf_counter() - t0, 3),
+                    "elapsed_sec": round(time.perf_counter() - t1, 3),
+                    "fold_sec_shared": fold_sec,  # one fold amortized over todo
                     "committed_at_mono": time.monotonic(),
                 },
             )
             done.append(epoch)
+        weights_all.unpersist()
         return done
 
     def weights(self) -> DataFrame:

@@ -82,8 +82,16 @@ def lang_id(text: Column) -> Column:
 # GPT-2-style pre-tokenizer pattern, restricted to the RE2 ∩ Java-regex
 # dialect (no lookahead, ASCII classes) so Spark and DuckDB count the same
 # matches: contraction suffixes, space-prefixed letter runs, digit runs,
-# symbol runs, residual whitespace runs.
-BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# symbol runs, residual whitespace runs. Whitespace is the EXPLICIT class
+# [ \t\n\f\r] rather than \s: Java's \s includes \x0B (vertical tab) while
+# RE2's does not, so \s would make the two engines diverge on documents
+# containing \x0B (ADVICE r02). \x0B therefore counts as a symbol here,
+# identically in both engines.
+_WS = r" \t\n\f\r"
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^A-Za-z0-9{_WS}]+|[{_WS}]+"
+)
 
 
 def bpe_token_estimate(text: Column) -> Column:

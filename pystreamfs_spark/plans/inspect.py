@@ -53,3 +53,13 @@ def count_exchanges(df: DataFrame) -> int:
 
 def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)
+
+
+def count_scans(df: DataFrame, source: str = "parquet") -> int:
+    """Number of file-source scans of ``source`` in the physical plan,
+    including scans nested inside an InMemoryRelation's cached plan.
+    A checkpointed fold must show exactly one — N scans means the source
+    is re-read N times at 100 TB. Counts only the detail headers
+    (``(5) Scan parquet``), not the duplicate tree lines, mirroring
+    count_exchanges."""
+    return len(re.findall(rf"^\(\d+\) Scan {source} ", explain_str(df), flags=re.MULTILINE))

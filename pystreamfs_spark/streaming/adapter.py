@@ -103,7 +103,14 @@ def stream_fold(
     previous window) and a RUNNING Nogueira stability over all completed
     windows so far — the per-feature selection counts are the sufficient
     statistic and live in GroupState, so window t's stability equals the
-    batch ``nogueira_stability`` computed over windows 0..t."""
+    batch ``nogueira_stability`` computed over windows 0..t.
+
+    CHECKPOINT COMPATIBILITY: ``applyInPandasWithState`` state schemas are
+    not evolvable — any change to ``_STATE_SCHEMA`` (fields were added in
+    r02: ``sel_counts``, ``n_late_acc``) invalidates pre-existing streaming
+    checkpoints. Resuming an old checkpoint after a schema change fails or
+    misaligns the unpickled state tuple; start the query with a NEW
+    checkpointLocation whenever this engine version changes _STATE_SCHEMA."""
     if kernel not in KERNELS:
         raise ValueError(f"unknown kernel {kernel!r}; available: {sorted(KERNELS)}")
     kk = dict(kernel_kwargs or {})

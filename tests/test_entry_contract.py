@@ -67,6 +67,30 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
+def test_bpe_pattern_identity_and_vtab_parity(spark, ddb):
+    """The oracle's inlined BPE regex must stay byte-identical to the
+    engine's, and the explicit [ \\t\\n\\f\\r] whitespace class must make
+    Spark (Java regex) and DuckDB (RE2) agree on \\x0B, where \\s diverges
+    (ADVICE r02)."""
+    from pystreamfs_spark.functions.text import BPE_SPLIT_PATTERN, bpe_token_estimate
+
+    assert entry_mod._BPE_SQL == BPE_SPLIT_PATTERN.replace("'", "''")
+
+    docs = ["a\x0bb", "one two\x0b\x0bthree", "plain text", "tab\there", "'s\x0b'll"]
+    import pyspark.sql.functions as F
+
+    sdf = spark.createDataFrame([(d,) for d in docs], ["text"])
+    got = [r.n for r in sdf.select(bpe_token_estimate(F.col("text")).alias("n")).collect()]
+    pat = entry_mod._BPE_SQL
+    want = [
+        ddb.sql(
+            f"SELECT len(regexp_extract_all(?, '{pat}')) AS n", params=[d]
+        ).fetchone()[0]
+        for d in docs
+    ]
+    assert got == want, f"engine {got} vs duckdb {want}"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
