@@ -104,6 +104,107 @@ def lsh_cosine_topk(
     return top_k_per_group(scored, [query_id_col], "cos", k, tie_breakers=[id_col])
 
 
+def _surrogate_centroids(corpus: DataFrame, n_cells: int, id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic codebook surrogate: the ``n_cells`` corpus vectors with
+    the smallest ``md5(vec_id)`` — engine-portable (reproducible in the SQL
+    oracle) but untrained, so recall is arbitrary. Output: (cell, __cv)."""
+    from pyspark.sql import Window
+
+    cent = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(n_cells)
+    )
+    return cent.select(
+        F.row_number().over(Window.orderBy("__h")).alias("cell"),
+        F.col(vec_col).alias("__cv"),
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Train an IVF codebook with Lloyd iterations expressed as DataFrame
+    jobs — pass the result to :func:`ivf_cosine_topk(centroids=...)`.
+
+    Each iteration: (1) assign every training vector to its most-cosine-
+    similar centroid via ONE broadcast row of all centroids — a pure map
+    stage, zero shuffle of the corpus; (2) recompute each cell's centroid
+    as the elementwise mean via posexplode → groupBy(cell, pos) — a shuffle
+    of n_rows×dims *scalar* rows with map-side partial aggregation (the
+    standard distributed-mean plan). Cells that lose all members keep their
+    previous centroid. Initialization is the deterministic md5-min surrogate
+    (:func:`_surrogate_centroids`), so training is fully reproducible.
+
+    Cosine assignment is scale-invariant in the centroid, so the plain mean
+    is equivalent to the spherical-k-means normalized mean for ranking.
+
+    At 100 TB: train on a sample (``sample_fraction``) — a codebook needs
+    thousands of points per cell, not the corpus; the sampled train set is
+    cached so each iteration is one in-memory pass. The codebook itself is
+    tiny (n_cells × dims) by definition; it is materialized driver-side
+    between iterations to keep every iteration's plan flat (no n_iters-deep
+    recursive plan / repeated source scans)."""
+    train = corpus.select(F.col(id_col), F.col(vec_col)).where(F.col(vec_col).isNotNull())
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    train = train.cache()
+    spark = corpus.sparkSession
+    cent = _surrogate_centroids(train, n_cells, id_col, vec_col)
+    # materialize (cell, vector) — tiny by definition of a codebook
+    cent_rows = [(int(r["cell"]), [float(x) for x in r["__cv"]]) for r in cent.collect()]
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(cent_rows, "cell int, __cv array<double>")
+        cent_row = cdf.agg(F.collect_list(F.struct("cell", "__cv")).alias("__cells"))
+        assigned = (
+            train.crossJoin(F.broadcast(cent_row))
+            .select(
+                F.col(vec_col),
+                (-F.element_at(_ranked_cells(vec_col), 1)["negcell"]).alias("cell"),
+            )
+        )
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col).cast("array<double>")))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("__cv")
+            )
+        )
+        new = {int(r["cell"]): [float(x) for x in r["__cv"]] for r in means.collect()}
+        cent_rows = [(c, new.get(c, v)) for c, v in cent_rows]  # empty cell → keep old
+    train.unpersist()
+    return spark.createDataFrame(cent_rows, "cell int, __cv array<double>")
+
+
+def _ranked_cells(vec_col: str):
+    """All cells ranked by (cosine sim desc, cell asc) for the row's vector,
+    given a broadcast ``__cells`` array column of (cell, __cv) structs.
+    Struct ordering is field-by-field, so (sim, -cell) descending ≡ best
+    similarity first, smaller cell id on ties."""
+    return F.reverse(
+        F.array_sort(
+            F.transform(
+                F.col("__cells"),
+                lambda s: F.struct(
+                    cosine(F.col(vec_col), s["__cv"]).alias("sim"),
+                    (-s["cell"]).alias("negcell"),
+                ),
+            )
+        )
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -113,6 +214,7 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     their most-similar coarse centroid ("cell"); each query scores only the
@@ -120,52 +222,36 @@ def ivf_cosine_topk(
     n_probe/n_cells selectivity — the other classic ANN scale path next to
     hyperplane LSH (:func:`lsh_cosine_topk`).
 
-    Coarse centroids are the ``n_cells`` corpus vectors with the smallest
-    ``md5(vec_id)`` — a deterministic, engine-portable surrogate for a
-    k-means codebook (reproducible in the SQL oracle; swap in trained
-    centroids by passing a 2-column (cell, vec) DataFrame the same way).
+    ``centroids``: optional caller-supplied codebook, a DataFrame with
+    columns (cell:int, vec) where the vector column is named ``__cv`` or
+    ``vec_col`` — e.g. the output of :func:`kmeans_centroids`. Without it,
+    the deterministic md5-min surrogate is used (engine-portable and
+    oracle-reproducible, but recall is untuned; ``n_cells`` applies only to
+    the surrogate).
+
     At scale: the centroid table is tiny and broadcast; assignment is a
     map-side n_cells-way scoring pass over the corpus (inherent to IVF);
     the probe join shuffles on the cell id — n_cells bounds the bucket
     count, AQE splits skewed cells."""
-    from pyspark.sql import Window
-
-    cent = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("__h")
-        .limit(n_cells)
-    )
-    cent = cent.select(
-        F.row_number().over(Window.orderBy("__h")).alias("cell"),
-        F.col(vec_col).alias("__cv"),
-    )
+    if centroids is not None:
+        vcol = "__cv" if "__cv" in centroids.columns else vec_col
+        cent = centroids.select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col(vcol).cast("array<double>").alias("__cv"),
+        )
+    else:
+        cent = _surrogate_centroids(corpus, n_cells, id_col, vec_col)
     # one broadcast row holding all centroids → cell assignment is a pure
     # map stage (zero shuffle of the corpus): per row, rank cells by
     # (sim desc, cell asc) inside a sorted struct array
     cent_row = cent.agg(F.collect_list(F.struct("cell", "__cv")).alias("__cells"))
-
-    def ranked_cells():
-        # struct ordering is field-by-field: (sim, -cell) descending ≡
-        # best similarity first, smaller cell id on ties
-        return F.reverse(
-            F.array_sort(
-                F.transform(
-                    F.col("__cells"),
-                    lambda s: F.struct(
-                        cosine(F.col(vec_col), s["__cv"]).alias("sim"),
-                        (-s["cell"]).alias("negcell"),
-                    ),
-                )
-            )
-        )
 
     cb = (
         corpus.crossJoin(F.broadcast(cent_row))
         .select(
             F.col(id_col),
             F.col(vec_col),
-            (-F.element_at(ranked_cells(), 1)["negcell"]).alias("cell"),
+            (-F.element_at(_ranked_cells(vec_col), 1)["negcell"]).alias("cell"),
         )
     )
     qb = (
@@ -176,7 +262,7 @@ def ivf_cosine_topk(
             F.col(vec_col).alias("__qv"),
             F.explode(
                 F.transform(
-                    F.slice(ranked_cells(), 1, n_probe), lambda s: -s["negcell"]
+                    F.slice(_ranked_cells(vec_col), 1, n_probe), lambda s: -s["negcell"]
                 )
             ).alias("cell"),
         )

@@ -247,3 +247,58 @@ def test_simhash_near_d2_matches_bruteforce(spark, sf_dir):
     got = {(r.id_a, r.id_b, r.hamming) for r in got_rows}
     assert len(got_rows) == len(got)
     assert got == brute
+
+
+def _clustered_embeddings(spark, n_clusters=8, per_cluster=40, dims=16, seed=11):
+    """Deterministic well-separated clusters: unit-ish centers on distinct
+    axes pairs + small noise — k-means must recover them."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dims))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + 0.05 * rng.normal(size=(per_cluster, dims))
+        for i, p in enumerate(pts):
+            rows.append((c * per_cluster + i, [float(x) for x in p]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_ivf_trained_beats_surrogate(spark):
+    """VERDICT r02 #2: a caller-supplied k-means codebook must deliver higher
+    recall vs exact brute force than the md5-surrogate at the same n_probe."""
+    from pystreamfs_spark.operators.ann import cosine_topk, ivf_cosine_topk, kmeans_centroids
+
+    emb = _clustered_embeddings(spark).cache()
+    q = emb.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def topk_set(df):
+        return {(r.query_id, r.vec_id) for r in df.collect()}
+
+    truth = topk_set(cosine_topk(emb, q, k=5))
+    cent = kmeans_centroids(emb, n_cells=8, n_iters=4)
+    trained = topk_set(ivf_cosine_topk(emb, q, k=5, n_probe=1, centroids=cent))
+    surrogate = topk_set(ivf_cosine_topk(emb, q, k=5, n_cells=8, n_probe=1))
+
+    recall_t = len(trained & truth) / len(truth)
+    recall_s = len(surrogate & truth) / len(truth)
+    # 8 tight clusters, 8 trained cells, queries at cluster centers: the
+    # trained codebook must be near-perfect; the surrogate is arbitrary
+    assert recall_t > recall_s, f"trained {recall_t} <= surrogate {recall_s}"
+    assert recall_t >= 0.9, recall_t
+
+
+def test_kmeans_centroids_shape_and_determinism(spark):
+    from pystreamfs_spark.operators.ann import kmeans_centroids
+
+    emb = _clustered_embeddings(spark, n_clusters=4, per_cluster=20).cache()
+    a = kmeans_centroids(emb, n_cells=4, n_iters=2)
+    b = kmeans_centroids(emb, n_cells=4, n_iters=2)
+    ra = sorted((r.cell, tuple(r["__cv"])) for r in a.collect())
+    rb = sorted((r.cell, tuple(r["__cv"])) for r in b.collect())
+    assert ra == rb  # fully deterministic training
+    assert [c for c, _ in ra] == [1, 2, 3, 4]
+    assert all(len(v) == 16 for _, v in ra)
