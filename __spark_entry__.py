@@ -418,6 +418,32 @@ def q_minhash_candidates(spark, sf_dir):
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), n_bands=8, k=3)
 
 
+def q_dedup_audit(spark, sf_dir):
+    """Recall-loss audit side-outputs (VERDICT r02 #7): what the
+    minhash max_bucket_size cap and the ngram max_df stop-shingle cut would
+    drop on this corpus — one row per audit kind, exact integers."""
+    from pystreamfs_spark.operators.dedup import minhash_bucket_audit, stop_shingle_audit
+
+    d = _t(spark, sf_dir, "documents")
+    mh = minhash_bucket_audit(d, n_bands=8, k=3, max_bucket_size=3).select(
+        F.lit("minhash_bucket").alias("kind"),
+        F.col("n_buckets").alias("n_keys"),
+        F.col("n_buckets_dropped").alias("n_keys_dropped"),
+        "n_postings_dropped",
+        "est_pairs_dropped",
+        F.col("max_bucket").alias("max_group"),
+    )
+    ss = stop_shingle_audit(d, k=3, max_df=4).select(
+        F.lit("stop_shingle").alias("kind"),
+        F.col("n_shingles").alias("n_keys"),
+        F.col("n_shingles_dropped").alias("n_keys_dropped"),
+        "n_postings_dropped",
+        "est_pairs_dropped",
+        F.col("max_df_seen").alias("max_group"),
+    )
+    return mh.unionByName(ss)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from pystreamfs_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -683,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "minhash_candidates": q_minhash_candidates,
+        "dedup_audit": q_dedup_audit,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_near": q_simhash_near,
@@ -1039,6 +1066,52 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT doc_id, CAST(6 AS BIGINT) AS band, s6 AS sig FROM sig
             UNION ALL SELECT doc_id, CAST(7 AS BIGINT) AS band, s7 AS sig FROM sig)
             SELECT doc_id, band, sig FROM bands
+        """,
+        "dedup_audit": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh0 AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+                          ELSE [array_to_string(t, ' ')] END AS shingles
+              FROM toks),
+            sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+            h AS (SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) % 1000000007 AS h FROM sh),
+            sig AS (SELECT doc_id,
+                   MIN((769886857 * h + 526584577) % 1000000007) AS s0,
+                   MIN((330267121 * h + 881231311) % 1000000007) AS s1,
+                   MIN((550510817 * h + 135164743) % 1000000007) AS s2,
+                   MIN((910286881 * h + 978055981) % 1000000007) AS s3,
+                   MIN((232492867 * h + 375134737) % 1000000007) AS s4,
+                   MIN((676943009 * h + 655087259) % 1000000007) AS s5,
+                   MIN((487110253 * h + 319336289) % 1000000007) AS s6,
+                   MIN((133303867 * h + 764499131) % 1000000007) AS s7
+                   FROM h GROUP BY doc_id),
+            bands AS (SELECT doc_id, 0 AS band, s0 AS sig FROM sig
+            UNION ALL SELECT doc_id, 1, s1 FROM sig
+            UNION ALL SELECT doc_id, 2, s2 FROM sig
+            UNION ALL SELECT doc_id, 3, s3 FROM sig
+            UNION ALL SELECT doc_id, 4, s4 FROM sig
+            UNION ALL SELECT doc_id, 5, s5 FROM sig
+            UNION ALL SELECT doc_id, 6, s6 FROM sig
+            UNION ALL SELECT doc_id, 7, s7 FROM sig),
+            bsize AS (SELECT band, sig, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+            mh AS (SELECT 'minhash_bucket' AS kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(CASE WHEN n > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_dropped,
+                   CAST(SUM(CASE WHEN n > 3 THEN n ELSE 0 END) AS BIGINT) AS n_postings_dropped,
+                   CAST(SUM(CASE WHEN n > 3 THEN n * (n - 1) / 2 ELSE 0 END) AS BIGINT) AS est_pairs_dropped,
+                   CAST(MAX(n) AS BIGINT) AS max_group
+                   FROM bsize),
+            dfr AS (SELECT shingle, COUNT(*) AS n FROM sh GROUP BY 1),
+            ss AS (SELECT 'stop_shingle' AS kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(CASE WHEN n > 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_dropped,
+                   CAST(SUM(CASE WHEN n > 4 THEN n ELSE 0 END) AS BIGINT) AS n_postings_dropped,
+                   CAST(SUM(CASE WHEN n > 4 THEN n * (n - 1) / 2 ELSE 0 END) AS BIGINT) AS est_pairs_dropped,
+                   CAST(MAX(n) AS BIGINT) AS max_group
+                   FROM dfr)
+            SELECT * FROM mh UNION ALL SELECT * FROM ss
         """,
         "minhash_candidates": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -166,6 +166,64 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_bucket_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 8,
+    k: int = 3,
+    band_r: int = 1,
+    max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Recall-loss audit for :func:`minhash_lsh_candidates`'s
+    ``max_bucket_size`` cap: one row of aggregate bucket statistics, with
+    ``est_pairs_dropped`` = Σ n·(n−1)/2 over dropped buckets — the number of
+    candidate pairs the cap silently removed. At 100 TB run this alongside
+    the candidate job (same signature computation; one extra small agg) so
+    the cap is an audited trade, not a silent one."""
+    sig = minhash_signatures(df, text_col, id_col, n_bands, k, band_r, hash_fn)
+    sizes = sig.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n"))
+    cap = F.lit(max_bucket_size) if max_bucket_size is not None else None
+    dropped = (F.col("n") > cap) if cap is not None else F.lit(False)
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(dropped.cast("bigint")).alias("n_buckets_dropped"),
+        F.sum(F.when(dropped, F.col("n")).otherwise(F.lit(0))).alias("n_postings_dropped"),
+        F.sum(
+            F.when(dropped, F.col("n") * (F.col("n") - 1) / 2).otherwise(F.lit(0.0))
+        ).cast("bigint").alias("est_pairs_dropped"),
+        F.max("n").alias("max_bucket"),
+    )
+
+
+def stop_shingle_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Recall-loss audit for :func:`ngram_jaccard_pairs`'s ``max_df``
+    stop-shingle cut: aggregate document-frequency statistics with
+    ``est_pairs_dropped`` = Σ df·(df−1)/2 over cut shingles — the upper
+    bound on candidate pairs whose only shared shingles were cut."""
+    dfreq = shingle_table(df, text_col, id_col, k).groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cap = F.lit(max_df) if max_df is not None else None
+    dropped = (F.col("n") > cap) if cap is not None else F.lit(False)
+    return dfreq.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(dropped.cast("bigint")).alias("n_shingles_dropped"),
+        F.sum(F.when(dropped, F.col("n")).otherwise(F.lit(0))).alias("n_postings_dropped"),
+        F.sum(
+            F.when(dropped, F.col("n") * (F.col("n") - 1) / 2).otherwise(F.lit(0.0))
+        ).cast("bigint").alias("est_pairs_dropped"),
+        F.max("n").alias("max_df_seen"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -302,3 +302,32 @@ def test_kmeans_centroids_shape_and_determinism(spark):
     assert ra == rb  # fully deterministic training
     assert [c for c, _ in ra] == [1, 2, 3, 4]
     assert all(len(v) == 16 for _, v in ra)
+
+
+def test_dedup_audit_counts_on_degenerate_bucket(spark):
+    """VERDICT r02 #7: the cap/cut audits must report exactly what a
+    degenerate bucket would drop. 6 identical short docs collapse into one
+    bucket per band; 2 unique docs stay solo."""
+    from pystreamfs_spark.operators.dedup import minhash_bucket_audit, stop_shingle_audit
+
+    rows = [(i, "the same exact degenerate text content") for i in range(6)]
+    rows += [(10, "completely different words entirely here"), (11, "another unique document text")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    mh = minhash_bucket_audit(d, n_bands=4, k=3, max_bucket_size=3).first()
+    # per band: one bucket of 6 (dropped), two singletons → 4 bands × (1 dropped)
+    assert mh.n_buckets_dropped == 4
+    assert mh.n_postings_dropped == 4 * 6
+    assert mh.est_pairs_dropped == 4 * (6 * 5 // 2)
+    assert mh.max_bucket == 6
+
+    ss = stop_shingle_audit(d, k=3, max_df=3).first()
+    # the duplicated doc's shingles each have df=6 > 3; unique docs' have df=1
+    assert ss.n_shingles_dropped > 0
+    assert ss.max_df_seen == 6
+    assert ss.est_pairs_dropped == ss.n_shingles_dropped * (6 * 5 // 2)
+
+    # cap=None → nothing dropped, totals still reported
+    mh0 = minhash_bucket_audit(d, n_bands=4, k=3, max_bucket_size=None).first()
+    assert mh0.n_buckets_dropped == 0 and mh0.est_pairs_dropped == 0
+    assert mh0.n_buckets == mh.n_buckets

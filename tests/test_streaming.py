@@ -148,3 +148,45 @@ def test_stream_session_stats_runs(spark, sf_dir, tmp_path):
     # final watermark closes all but the trailing ones
     n = spark.sql("select count(*) from sess_tab").first()[0]
     assert n > 0
+
+
+def test_stream_out_of_order_n_late_and_frontier(spark, featurized, tmp_path):
+    """VERDICT r02 #8: feed an out-of-order micro-batch sequence. Rows below
+    the per-entity frontier must be counted in n_late (accumulated across
+    micro-batches, including a batch that completes NO window) and skipped —
+    the fold state and weights must be identical to the in-order run."""
+    src = str(tmp_path / "ooo_src")
+    base = featurized.select("conv_id", "turn_idx", "features", "label")
+
+    # batch 1: turns 0..14 → window 0 (batch=10) completes, frontier = 15
+    base.where(F.col("turn_idx") < 15).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)
+    # batch 2: ONLY late rows (turns 0..4 resent) — no window completes, so
+    # the 5 late rows must be carried in state (n_late_acc), not lost
+    base.where(F.col("turn_idx") < 5).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)
+    # batch 3: turns 15..19 → window 1 completes from carry(5) + 5 fresh
+    base.where((F.col("turn_idx") >= 15) & (F.col("turn_idx") < 20)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    got = _run_stream(spark, src, str(tmp_path / "ooo_ckpt"), max_files=1).collect()
+    by_key = {(r.conv_id, r.window_id): r for r in got}
+
+    # reference: the batch fold over the UNIQUE turns 0..19 (late dups skipped)
+    ref = fold_weights(
+        featurized.where(F.col("turn_idx") < 20), kernel="ofs", batch_size=10, num_features=5
+    )
+    ref_rows = {(r.conv_id, r.window_id): r for r in ref.collect() if r.win_rows == 10}
+    assert set(by_key) == set(ref_rows)
+    for k, r in by_key.items():
+        assert r.w == ref_rows[k].w, f"{k}: late rows perturbed the fold state"
+        assert list(r.selected) == list(ref_rows[k].selected)
+
+    # n_late accounting: window 0 saw no late rows; window 1 carries the 5
+    # late rows from the all-late micro-batch for every conv long enough
+    for (conv, wid), r in by_key.items():
+        if wid == 0:
+            assert r.n_late == 0, (conv, wid, r.n_late)
+        if wid == 1:
+            assert r.n_late == 5, (conv, wid, r.n_late)
