@@ -172,3 +172,38 @@ def test_stream_accuracy_requires_cap(spark):
     f = featurize_turns(synthesize_transcripts(spark, n_convs=2, seed=1))
     with pytest.raises(ValueError, match="max_train_rows"):
         fold_weights_stream(f, with_accuracy=True)
+
+
+def test_large_window_scan_path_bit_identical():
+    """The margin-event chunked-scan path (engaged only for windows >=
+    kernels.ofs._VECTOR_MIN_ROWS) must produce the EXACT reference weight
+    trajectory — sparse (separable) and dense (noisy) violation regimes."""
+    import numpy as np
+
+    from oracle_ref import efs_window, ofs_window
+    from pystreamfs_spark.kernels.efs import EFSState, efs_update
+    from pystreamfs_spark.kernels.ofs import _VECTOR_MIN_ROWS, OFSState, ofs_update
+
+    rng = np.random.default_rng(123)
+    m, n = 16, 4000
+    assert n >= _VECTOR_MIN_ROWS
+    tw = np.zeros(m)
+    tw[:5] = 8.0
+    scenarios = {
+        "sparse": (lambda X: (X @ tw > 0).astype(float)),
+        "dense": (lambda X: rng.integers(0, 2, size=n).astype(float)),
+    }
+    for name, label_fn in scenarios.items():
+        X = rng.normal(size=(n, m)) * 3.0
+        y = label_fn(X)
+        # one giant window: the scan path runs end-to-end with chunk growth
+        st, w_eng = ofs_update(OFSState.init(m, 5), X, y)
+        w_ref = ofs_window(X, y, np.zeros(m), 5)
+        assert np.array_equal(w_eng, w_ref), f"ofs {name}"
+
+        est, w_eefs = efs_update(EFSState.init(m), X, y)
+        w_refe, u_ref, v_ref = efs_window(
+            X, y, np.ones(m) * 2, np.ones(m), 1.5, 0.5, 1.0, 1.0
+        )
+        assert np.array_equal(w_eefs, w_refe), f"efs {name}"
+        assert np.array_equal(est.u, u_ref) and np.array_equal(est.v, v_ref)
