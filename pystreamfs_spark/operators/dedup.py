@@ -103,6 +103,15 @@ def minhash_signatures(
         raise ValueError(f"n_bands*band_r > {len(MINHASH_A)} needs more mixer constants")
     if band_r not in (1, 2):
         raise ValueError("band_r must be 1 or 2")
+    # PLAN NOTE (r03, measured): a "map-only" variant computing each band
+    # minimum with higher-order functions over the in-row shingle array
+    # (array_min ∘ transform, zero explode, zero exchange) produces identical
+    # values but runs 4-6× SLOWER — Spark's higher-order lambdas are
+    # interpreted (no whole-stage codegen), while this explode path is fully
+    # codegen'd. And the apparent shuffle here is already tiny: a doc's
+    # shingles live in one task, so the groupBy's map-side PARTIAL aggregate
+    # collapses them to one row per (doc × mixer) before anything crosses the
+    # wire — shuffled volume is O(n_docs), not O(n_shingles), at any scale.
     sh = shingle_table(df, text_col, id_col, k).select(
         id_col, _shingle_hash(F.col("shingle"), hash_fn).alias("h")
     )
