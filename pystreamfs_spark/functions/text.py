@@ -102,6 +102,33 @@ def bpe_token_estimate(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN)).cast("int")
 
 
+# PII patterns, restricted (like BPE_SPLIT_PATTERN) to the RE2 ∩ Java-regex
+# dialect — plain character classes and counted quantifiers only, no
+# lookaround, no \s/\w shorthands — so Spark's regexp_replace/regexp_count
+# and DuckDB's produce byte-identical results.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# digit runs joined by phone separators, 7+ digits total, optional leading +
+PHONE_PATTERN = r"\+?[0-9]{2,4}[ .-][0-9]{2,4}[ .-][0-9]{2,6}"
+
+
+def mask_pii(text: Column) -> Column:
+    """Redact email addresses then phone-shaped number groups with typed
+    placeholders — the minimal PII scrub pass of a training-data pipeline.
+    Order matters (emails contain digits); both engines apply global
+    replacement. Pure regexp_replace: JVM codegen, no Python."""
+    no_email = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of (n_emails, n_phones) found by the masking patterns —
+    the audit counterpart of :func:`mask_pii` (count what you scrub)."""
+    return F.struct(
+        F.regexp_count(text, F.lit(EMAIL_PATTERN)).cast("int").alias("n_emails"),
+        F.regexp_count(text, F.lit(PHONE_PATTERN)).cast("int").alias("n_phones"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     Identical hex in any engine; used as the exact-dedup key."""

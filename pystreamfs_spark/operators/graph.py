@@ -1,0 +1,116 @@
+"""Connected components over candidate-pair graphs, and dedup
+canonicalization on top.
+
+Near-dup detection (MinHash-LSH / SimHash / embedding buckets — see
+``operators/dedup.py`` and ``operators/ann.py``) emits PAIRS; an actual
+dedup pass needs CLUSTERS: similarity is not transitive, but the standard
+corpus-dedup policy (as in the reference pipelines these operators model)
+is to union overlapping pairs into components and keep one canonical
+document per component. That union step is connected components.
+
+Algorithm: iterative min-label propagation with pointer jumping — the
+DataFrame-native form of the MapReduce CC family (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14). Each round:
+
+1. neighbor-min: every node takes the min label over itself and its
+   neighbors — one shuffle join (edges × labels) + one map-side-combined
+   min-agg;
+2. pointer jump: every node replaces its label by its label's label
+   (path halving) — one self-join on the label table.
+
+Neighbor-min alone converges in O(diameter) rounds; the pointer jump
+contracts label chains geometrically, giving O(log d) rounds on any graph
+shape — a near-dup graph's components are shallow (2-4 rounds), but a
+pathological chain (quotes-of-quotes) stays logarithmic instead of
+linear.
+
+Scale notes (100 TB):
+- per-round shuffled volume is O(|V| + |E|) rows of (long, long) — no
+  per-component lists are ever materialized;
+- labels are monotone non-increasing, so convergence is detected with a
+  single scalar aggregate (sum of labels strictly decreases until the
+  fixpoint) — no extra join against the previous round;
+- lineage is truncated every round (``localCheckpoint``; swap for
+  ``checkpoint()`` with a durable dir on a real cluster) — without it the
+  plan doubles per round and task serialization dominates by round ~8;
+- the driver loop is O(log d) tiny actions; every heavy step is a
+  distributed job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node of the undirected graph with the MIN node id of its
+    connected component. Input: an edge list (directed or not, dups fine).
+    Output: (id, component) for every node that appears in an edge.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = (
+        e.select(F.col("u").alias("id")).distinct().select("id", F.col("id").alias("label"))
+    ).localCheckpoint(eager=True)
+
+    prev_sum = None
+    for _ in range(max_iter):
+        # 1) neighbor-min: messages carry each node's label to its neighbors
+        msgs = e.join(labels, e["u"] == labels["id"]).select(F.col("v").alias("id"), "label")
+        new = (
+            msgs.union(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # 2) pointer jump: label <- label(label). A label is always a node id
+        # (mins over node ids), so the left join hits unless already a root.
+        parent = new.select(F.col("id").alias("p_id"), F.col("label").alias("p_label"))
+        new = new.join(parent, new["label"] == parent["p_id"], "left").select(
+            "id", F.coalesce("p_label", "label").alias("label")
+        )
+        new = new.localCheckpoint(eager=True)
+        # convergence: labels are monotone non-increasing per node, so the
+        # global sum is a strictly-decreasing potential until the fixpoint.
+        cur_sum = new.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).head()[0]
+        labels = new
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    e.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Canonicalize near-dup PAIRS into per-document cluster assignments:
+    every document gets the component's min doc id as its ``component``
+    (documents in no pair are their own singleton component). The standard
+    keep-policy is ``component == id`` — one canonical doc per cluster.
+    Output: (id_col, component, is_canonical).
+    """
+    labels = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    out = (
+        docs.select(F.col(id_col))
+        .join(labels, docs[id_col] == labels["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    return out.select(
+        id_col,
+        "component",
+        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+    )

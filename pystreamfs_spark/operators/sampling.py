@@ -1,0 +1,97 @@
+"""Deterministic sampling and dataset splitting for training-data
+pipelines — all pure column expressions (JVM-side, whole-stage codegen).
+
+Everything here is HASH-based, not RNG-based, on purpose:
+
+- **reproducible**: the assignment of a row depends only on its key (and a
+  salt), never on partitioning, task order, or a sampler's RNG stream —
+  re-running at any parallelism, any scale, any engine gives the same
+  split. (``df.sample``/``sampleBy`` are partition-order-dependent and
+  engine-specific, which is exactly what a 100 TB train/test split must
+  not be.)
+- **stable under growth**: adding new rows never moves an existing row to
+  a different split — the property that keeps yesterday's held-out set
+  held out after today's ingest.
+- **portable**: md5-prefix arithmetic, identical in Spark and DuckDB, so
+  every operator has an exact SQL oracle.
+
+The hash bucket is the integer value of the first 8 md5 hex chars of
+``salt || key`` modulo ``n_buckets`` — uniform to ~2^-32.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n_buckets: int = 10_000, salt: str = "") -> Column:
+    """Deterministic uniform bucket in [0, n_buckets) from a key column."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10)
+    return h.cast("long") % n_buckets
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+    n_buckets: int = 10_000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a named split (train/val/test/...) by hash bucket.
+
+    ``fractions`` maps split name -> fraction, in priority order; they are
+    quantized to whole buckets (with ``n_buckets=10_000`` the resolution is
+    0.01%). The last split absorbs rounding so the buckets always
+    partition. Map-only: no shuffle, no action, no RNG.
+    """
+    if fractions is None:
+        fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not fractions or any(v < 0 for v in fractions.values()):
+        raise ValueError("fractions must be a non-empty dict of non-negative floats")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    b = hash_bucket(F.col(key_col), n_buckets, salt)
+    names = list(fractions)
+    # cumulative integer thresholds; the final split takes the remainder
+    expr = None
+    cum = 0
+    for name in names[:-1]:
+        cum += round(fractions[name] * n_buckets)
+        cond = b < cum
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket falls under its stratum's quantized rate. The workhorse of
+    corpus mixing (e.g. keep 100% of books, 10% of web, 1% of logs) —
+    map-only, reproducible, and stable under corpus growth, unlike
+    ``sampleBy``. Unlisted strata get ``default_rate``.
+    """
+    if any(not (0.0 <= r <= 1.0) for r in rates.values()):
+        raise ValueError("rates must be in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    b = hash_bucket(F.col(key_col), n_buckets, salt)
+    thresh = None
+    for stratum, rate in rates.items():
+        t = F.lit(round(rate * n_buckets))
+        cond = F.col(stratum_col) == stratum
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    default = F.lit(round(default_rate * n_buckets))
+    thresh = default if thresh is None else thresh.otherwise(default)
+    return df.where(b < thresh)

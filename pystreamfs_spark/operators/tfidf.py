@@ -1,0 +1,86 @@
+"""Corpus-level term weighting (TF-IDF) — pure DataFrame plans.
+
+Shape at 100 TB: one explode (tokens), one map-side-combined groupBy for
+per-doc term frequencies, one groupBy for document frequencies, one
+equi-join of the two on the token (AQE-skew-splittable; stopword-grade
+tokens are the classic skew keys — pass ``max_df`` to cut them before the
+join, same recipe as the dedup stop-shingle cut), and a single-row
+broadcast of the corpus size. No Python, no window over the whole corpus,
+no collect.
+
+Two idf weightings:
+
+- ``idf="ln"`` (default): sklearn's smooth idf, ``ln((1+N)/(1+df)) + 1``.
+  The natural log is transcendental — bit-identity across engines is NOT
+  guaranteed (JVM ``Math.log`` vs libm may differ in the last ulp), so
+  ln-weighted scores are for in-engine use and allclose tests.
+- ``idf="ratio"``: plain rarity ratio ``N/df`` — two exact integer casts
+  and one IEEE division, bit-identical in any engine, so driver queries
+  and SQL oracles use this mode for exact-hash comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pystreamfs_spark.functions.text import tokens
+
+
+def term_frequencies(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, token, tf): occurrence counts of each token per document."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    return tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf: str = "ln",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Per (doc, token) TF-IDF scores.
+    Output: (id, token, tf, doc_freq, score). ``max_df`` drops tokens
+    appearing in more than max_df documents BEFORE the join — the skew cut
+    for stopword-grade keys."""
+    if idf not in ("ln", "ratio"):
+        raise ValueError("idf must be 'ln' or 'ratio'")
+    tf = term_frequencies(df, text_col, id_col)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("doc_freq") <= max_df)
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    joined = tf.join(dfreq, "token").crossJoin(F.broadcast(n_docs))
+    if idf == "ln":
+        w = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("doc_freq"))) + 1.0
+    else:
+        w = F.col("n_docs").cast("double") / F.col("doc_freq").cast("double")
+    return joined.select(
+        F.col(id_col),
+        "token",
+        "tf",
+        "doc_freq",
+        (F.col("tf").cast("double") * w).alias("score"),
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    idf: str = "ln",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Top-n highest-TF-IDF terms per document (the standard keyword
+    extractor). Deterministic total order: score DESC, then token ASC —
+    ties cannot reorder across engines. One window over (id) on the scored
+    rows; per-doc groups are token-vocabulary-sized, never corpus-sized."""
+    scored = tf_idf(df, text_col, id_col, idf=idf, max_df=max_df)
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select(id_col, "token", "tf", "doc_freq", "score", "rank")
+    )

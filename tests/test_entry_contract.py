@@ -91,6 +91,36 @@ def test_bpe_pattern_identity_and_vtab_parity(spark, ddb):
     assert got == want, f"engine {got} vs duckdb {want}"
 
 
+def test_pii_pattern_identity(spark, ddb):
+    """The oracle's inlined PII regexes must stay byte-identical to the
+    engine's (same no-drift guarantee as the BPE pattern), and Spark (Java
+    regex) and DuckDB (RE2) must count/mask identically on boundary cases."""
+    from pystreamfs_spark.functions.text import EMAIL_PATTERN, PHONE_PATTERN, mask_pii
+
+    assert entry_mod._EMAIL_SQL == EMAIL_PATTERN.replace("'", "''")
+    assert entry_mod._PHONE_SQL == PHONE_PATTERN.replace("'", "''")
+
+    docs = [
+        "a@b.io plus +49 30-901820 end",
+        "dotty..name@x.y.zz 12 34-567890123",
+        "no match 1234567",
+        "e@d.c f@g.hh 00 00-00",
+    ]
+    import pyspark.sql.functions as F
+
+    sdf = spark.createDataFrame([(d,) for d in docs], ["text"])
+    got = [r.m for r in sdf.select(mask_pii(F.col("text")).alias("m")).collect()]
+    want = [
+        ddb.sql(
+            f"SELECT regexp_replace(regexp_replace(?, '{entry_mod._EMAIL_SQL}', '<EMAIL>', 'g'),"
+            f" '{entry_mod._PHONE_SQL}', '<PHONE>', 'g')",
+            params=[d],
+        ).fetchone()[0]
+        for d in docs
+    ]
+    assert got == want, f"engine {got} vs duckdb {want}"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0

@@ -331,3 +331,139 @@ def test_dedup_audit_counts_on_degenerate_bucket(spark):
     mh0 = minhash_bucket_audit(d, n_bands=4, k=3, max_bucket_size=None).first()
     assert mh0.n_buckets_dropped == 0 and mh0.est_pairs_dropped == 0
     assert mh0.n_buckets == mh.n_buckets
+
+
+def test_connected_components_hand_graph(spark):
+    """Two components (one via a chain, exercising pointer jumping) plus the
+    min-label invariant; singletons appear via dedup_components only."""
+    from pystreamfs_spark.operators.graph import connected_components, dedup_components
+
+    # chain 1-2-3-4-5 (diameter 4) and triangle 10-11-12
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)]
+    e = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r.id: r.component for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 99]], "doc_id bigint")
+    out = {r.doc_id: (r.component, r.is_canonical) for r in dedup_components(docs, e).collect()}
+    assert out[99] == (99, True)  # singleton: own component, canonical
+    assert out[5] == (1, False) and out[1] == (1, True)
+    assert sum(1 for c, canon in out.values() if canon) == 3  # one keeper per cluster
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node path graph converges within the O(log d) round budget —
+    neighbor-min alone would need ~64 rounds; pointer jumping must not."""
+    from pystreamfs_spark.operators.graph import connected_components
+
+    n = 64
+    e = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint")
+    got = connected_components(e, max_iter=12).collect()
+    assert len(got) == n + 1
+    assert all(r.component == 0 for r in got)
+
+
+def test_hash_split_deterministic_partition(spark):
+    from pystreamfs_spark.operators.sampling import hash_split
+
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(d, key_col="doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # uniform hash: fractions hold within a few percent at n=2000
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    # determinism + stability under growth: same assignment on a superset
+    bigger = hash_split(
+        spark.range(0, 4000).withColumnRenamed("id", "doc_id"),
+        key_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    j = out.alias("a").join(bigger.alias("b"), "doc_id").where("a.split <> b.split")
+    assert j.count() == 0
+
+    with pytest.raises(ValueError):
+        hash_split(d, key_col="doc_id", fractions={"train": 0.5, "val": 0.1})
+
+
+def test_stratified_hash_sample_rates_and_determinism(spark):
+    from pystreamfs_spark.operators.sampling import stratified_hash_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(4000)]
+    d = spark.createDataFrame(rows, "k bigint, s string")
+    out = stratified_hash_sample(d, key_col="k", stratum_col="s", rates={"a": 0.5, "b": 1.0})
+    counts = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts["b"] == 2000            # rate 1.0 keeps everything
+    assert abs(counts["a"] / 2000 - 0.5) < 0.05
+    # rerun → identical selection (hash, not RNG)
+    again = stratified_hash_sample(d, key_col="k", stratum_col="s", rates={"a": 0.5, "b": 1.0})
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    # unlisted stratum with default_rate=0 → dropped entirely
+    none_kept = stratified_hash_sample(d, key_col="k", stratum_col="s", rates={"a": 0.5})
+    assert none_kept.where("s = 'b'").count() == 0
+
+
+def test_chunk_by_tokens_covers_and_is_ragged(spark):
+    from pystreamfs_spark.operators.chunk import chunk_by_tokens
+
+    rows = [(1, " ".join(f"w{i}" for i in range(10))), (2, "short doc"), (3, "")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = chunk_by_tokens(d, chunk_size=4).orderBy("doc_id", "chunk_id").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [c.n_tokens for c in by_doc[1]] == [4, 4, 2]  # 10 tokens → 4+4+2
+    assert by_doc[1][0].chunk_text == "w0 w1 w2 w3"
+    assert by_doc[1][2].chunk_text == "w8 w9"
+    assert [c.chunk_id for c in by_doc[1]] == [0, 1, 2]
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 2
+    assert len(by_doc[3]) == 1  # empty text → one empty-token chunk
+    # reassembling chunks reproduces the normalized text
+    joined = " ".join(c.chunk_text for c in by_doc[1])
+    assert joined == " ".join(f"w{i}" for i in range(10))
+
+
+def test_tfidf_ln_and_ratio_modes(spark):
+    from pystreamfs_spark.operators.tfidf import tf_idf, top_terms
+
+    rows = [
+        (1, "apple apple banana common"),
+        (2, "banana cherry common"),
+        (3, "cherry cherry common"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    scored = {(r.doc_id, r.token): r for r in tf_idf(d, idf="ratio").collect()}
+    # 'common' in all 3 docs → ratio idf 1.0; 'apple' only in doc 1 → 3.0
+    assert scored[(1, "common")].score == 1.0
+    assert scored[(1, "apple")].score == 2 * 3.0
+    ln_scored = {(r.doc_id, r.token): r.score for r in tf_idf(d, idf="ln").collect()}
+    assert ln_scored[(1, "apple")] == pytest.approx(2 * (np.log(4 / 2) + 1))
+    # top_terms: rarest-heaviest first, deterministic tie-break by token
+    top = top_terms(d, n=2, idf="ratio").where("doc_id = 1").orderBy("rank").collect()
+    assert [t.token for t in top] == ["apple", "banana"]
+    # max_df cut removes corpus-wide tokens before the join
+    cut = tf_idf(d, idf="ratio", max_df=2).where("token = 'common'")
+    assert cut.count() == 0
+
+
+def test_pii_mask_and_counts(spark):
+    from pystreamfs_spark.functions.text import mask_pii, pii_counts
+
+    rows = [
+        (1, "mail me at alice.smith+work@sub.example.org or call 0170 555-1234 now"),
+        (2, "no pii here, just 42 numbers and one dot."),
+        (3, "two mails: a@b.io c.d@e-f.com and +49 30-901820"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = d.select(
+        "doc_id",
+        mask_pii(F.col("text")).alias("masked"),
+        pii_counts(F.col("text")).alias("c"),
+    ).collect()
+    by = {r.doc_id: r for r in out}
+    assert by[1].c.n_emails == 1 and by[1].c.n_phones == 1
+    assert "<EMAIL>" in by[1].masked and "<PHONE>" in by[1].masked
+    assert "alice" not in by[1].masked and "555" not in by[1].masked
+    assert by[2].c.n_emails == 0 and by[2].c.n_phones == 0
+    assert by[2].masked == rows[1][1]
+    assert by[3].c.n_emails == 2 and by[3].c.n_phones == 1
