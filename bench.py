@@ -62,7 +62,7 @@ def main() -> None:
     only_env = os.environ.get("BENCH_ONLY")
     only = {s.strip() for s in only_env.split(",")} if only_env else None
     needs_fold = only is None or any(
-        q.startswith(("fold_", "stability", "featurize", "prequential", "minhash_scale"))
+        q.startswith(("fold_", "stability", "featurize", "prequential", "minhash_scale", "chunk_scale"))
         for q in only
     )
 
@@ -138,6 +138,23 @@ def main() -> None:
         out = featurize_turns(transcripts).agg(F.sum(F.element_at("features", 12))).collect()
         return len(out)
 
+    def chunk_scale_run() -> int:
+        # context-length chunking over every transcript turn (~2.3M texts at
+        # sf0.1) — map-only text-processing throughput, zero shuffles
+        from pystreamfs_spark.operators.chunk import chunk_by_tokens
+
+        docs = transcripts.select(F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text")
+        return chunk_by_tokens(docs, chunk_size=32).count()
+
+    def cc_dedup_run() -> int:
+        # pairs → clusters: SimHash candidates + connected components over
+        # the sf documents corpus (the full canonicalization pipeline)
+        from pystreamfs_spark.operators.dedup import simhash_duplicates
+        from pystreamfs_spark.operators.graph import dedup_components
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return dedup_components(d, simhash_duplicates(d)).where("is_canonical").count()
+
     entry_queries = em.queries()
     suite: dict[str, callable] = {
         "featurize": featurize_run,
@@ -165,6 +182,9 @@ def main() -> None:
         "lsh_ann": lambda: entry_queries["lsh_ann"](spark, sf_dir).count(),
         "ivf_ann": lambda: entry_queries["ivf_ann"](spark, sf_dir).count(),
         "corpus_clean": lambda: entry_queries["corpus_clean"](spark, sf_dir).count(),
+        "cc_dedup": cc_dedup_run,
+        "tfidf_top": lambda: entry_queries["tfidf_top"](spark, sf_dir).count(),
+        "chunk_scale": chunk_scale_run,
         "token_estimate": lambda: entry_queries["token_estimate"](spark, sf_dir).count(),
         "doc_quality": lambda: entry_queries["doc_quality"](spark, sf_dir).count(),
         "multimodal_features": lambda: entry_queries["multimodal_features"](spark, sf_dir).count(),

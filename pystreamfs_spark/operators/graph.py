@@ -55,9 +55,12 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    # lazy localCheckpoint: the convergence aggregate below is the first
+    # action over each round's labels and materializes the checkpoint as a
+    # side effect — one job per round instead of two (eager + aggregate).
     labels = (
         e.select(F.col("u").alias("id")).distinct().select("id", F.col("id").alias("label"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     prev_sum = None
     for _ in range(max_iter):
@@ -74,7 +77,7 @@ def connected_components(
         new = new.join(parent, new["label"] == parent["p_id"], "left").select(
             "id", F.coalesce("p_label", "label").alias("label")
         )
-        new = new.localCheckpoint(eager=True)
+        new = new.localCheckpoint(eager=False)
         # convergence: labels are monotone non-increasing per node, so the
         # global sum is a strictly-decreasing potential until the fixpoint.
         cur_sum = new.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).head()[0]

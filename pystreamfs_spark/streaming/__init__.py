@@ -1,3 +1,7 @@
-from pystreamfs_spark.streaming.adapter import stream_fold, stream_session_stats
+from pystreamfs_spark.streaming.adapter import (
+    stream_exact_dedup,
+    stream_fold,
+    stream_session_stats,
+)
 
-__all__ = ["stream_fold", "stream_session_stats"]
+__all__ = ["stream_exact_dedup", "stream_fold", "stream_session_stats"]

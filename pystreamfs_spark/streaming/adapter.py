@@ -239,3 +239,29 @@ def stream_session_stats(
             "v_sum",
         )
     )
+
+
+def stream_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Ingest-time exact dedup with BOUNDED state — the streaming twin of
+    ``operators.dedup.exact_dedup``: fingerprint the normalized text (md5,
+    same key as the batch operator) and keep the first arrival per
+    fingerprint within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` retains a fingerprint's state only
+    until the event-time watermark passes it, so state is O(unique docs per
+    horizon), not O(corpus) — the property that makes continuous 100 TB/day
+    ingest feasible. The documented trade: a duplicate arriving later than
+    the horizon is re-admitted (run the batch ``exact_dedup`` downstream for
+    the exact global pass; this operator is the cheap streaming pre-filter
+    that cuts the bulk of duplicate volume before it ever lands)."""
+    from pystreamfs_spark.functions.text import fingerprint
+
+    fp = stream_df.withColumn("__fp", fingerprint(F.col(text_col)))
+    out = fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["__fp"])
+    return out.select(id_col, ts_col, F.col("__fp").alias("fp"), text_col)

@@ -190,3 +190,53 @@ def test_stream_out_of_order_n_late_and_frontier(spark, featurized, tmp_path):
             assert r.n_late == 0, (conv, wid, r.n_late)
         if wid == 1:
             assert r.n_late == 5, (conv, wid, r.n_late)
+
+
+def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
+    """Duplicate texts arriving in LATER micro-batches (within the watermark
+    horizon) are dropped; survivors match the batch exact_dedup key set."""
+    import datetime as dt
+
+    from pystreamfs_spark.operators.dedup import exact_dedup
+    from pystreamfs_spark.streaming import stream_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    batches = [
+        [(1, t0, "alpha beta gamma"), (2, t0, "delta epsilon")],
+        # batch 2: one exact dup (normalized) of doc 1, one new doc
+        [(3, t0 + dt.timedelta(minutes=5), "  ALPHA   beta GAMMA "), (4, t0 + dt.timedelta(minutes=5), "zeta eta")],
+        # batch 3: dup of doc 4 and dup of doc 2
+        [(5, t0 + dt.timedelta(minutes=10), "zeta eta"), (6, t0 + dt.timedelta(minutes=10), "delta  epsilon")],
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id bigint, ts timestamp, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_exact_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_tab")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from dedup_stream_tab").collect()
+
+    # one survivor per distinct fingerprint
+    fps = [r.fp for r in got]
+    assert len(fps) == len(set(fps)) == 3
+    # the batch operator agrees on the fingerprint key set
+    batch_df = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id bigint, ts timestamp, text string"
+    )
+    batch_fps = {r.fp for r in exact_dedup(batch_df).collect()}
+    assert set(fps) == batch_fps
