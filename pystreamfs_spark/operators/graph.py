@@ -82,6 +82,8 @@ def connected_components(
         # global sum is a strictly-decreasing potential until the fixpoint.
         cur_sum = new.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).head()[0]
         labels = new
+        if cur_sum is None:  # empty edge list → nothing to propagate
+            break
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -1,12 +1,17 @@
 """Corpus-level term weighting (TF-IDF) — pure DataFrame plans.
 
-Shape at 100 TB: one explode (tokens), one map-side-combined groupBy for
-per-doc term frequencies, one groupBy for document frequencies, one
-equi-join of the two on the token (AQE-skew-splittable; stopword-grade
-tokens are the classic skew keys — pass ``max_df`` to cut them before the
-join, same recipe as the dedup stop-shingle cut), and a single-row
-broadcast of the corpus size. No Python, no window over the whole corpus,
-no collect.
+Shape at 100 TB: the token explode + per-doc tf aggregate runs at most
+TWICE (once for the tf side, once under the document-frequency aggregate —
+dfreq shuffles on a different key, so Catalyst's ReuseExchange cannot
+dedupe the subtrees; a window over the token would compute it once but
+buffers a stopword's whole corpus-sized group in one task, the same trade
+rejected in ngram_jaccard). Both passes are map-side-combined, so shuffled
+volume is O(distinct (doc,token)) and O(distinct token), never
+O(occurrences). The tf–dfreq equi-join is AQE-skew-splittable
+(stopword-grade tokens are the classic skew keys — pass ``max_df`` to cut
+them before the join, same recipe as the dedup stop-shingle cut), and the
+corpus size joins as a single-row broadcast. No Python, no window over the
+whole corpus, no collect. Plan budget asserted in test_plans.
 
 Two idf weightings:
 

@@ -467,3 +467,15 @@ def test_pii_mask_and_counts(spark):
     assert by[2].c.n_emails == 0 and by[2].c.n_phones == 0
     assert by[2].masked == rows[1][1]
     assert by[3].c.n_emails == 2 and by[3].c.n_phones == 1
+
+
+def test_dedup_components_empty_pairs(spark):
+    """No candidate pairs → every doc is its own canonical singleton (and
+    the CC loop exits immediately on the empty edge list)."""
+    from pystreamfs_spark.operators.graph import dedup_components
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id bigint")
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    out = dedup_components(docs, pairs).collect()
+    assert len(out) == 5
+    assert all(r.component == r.doc_id and r.is_canonical for r in out)

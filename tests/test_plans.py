@@ -108,3 +108,53 @@ def test_ngram_jaccard_plan_budget(spark, sf_dir):
         assert "ReusedExchange" in final, final[:3000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sampling_ops_are_map_only(spark, sf_dir):
+    """hash_split / stratified_hash_sample must be pure projections /
+    filters: zero exchanges, and the stratum filter must not block column
+    pruning at the scan."""
+    from pystreamfs_spark.operators.sampling import hash_split, stratified_hash_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = hash_split(d, key_col="doc_id").select("doc_id", "split")
+    assert count_exchanges(split) == 0, explain_str(split)[:2000]
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    samp = stratified_hash_sample(
+        ev, key_col="event_id", stratum_col="event_type", rates={"click": 0.5}
+    ).select("event_id", "event_type")
+    assert count_exchanges(samp) == 0, explain_str(samp)[:2000]
+    schemas = read_schema_columns(samp)
+    assert schemas and set(schemas[0]) <= {"event_id", "event_type"}, schemas
+
+
+def test_chunking_fans_out_map_side(spark, sf_dir):
+    """chunk_by_tokens multiplies rows AFTER building per-row chunk arrays —
+    one Generate, zero exchanges (the fan-out never shuffles)."""
+    from pystreamfs_spark.operators.chunk import chunk_by_tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_by_tokens(d, chunk_size=32)
+    assert count_exchanges(out) == 0, explain_str(out)[:2000]
+    text = explain_str(out)
+    assert len(re.findall(r"^\(\d+\) Generate", text, flags=re.MULTILINE)) == 1, text[:2000]
+
+
+def test_tfidf_exchange_budget_and_broadcast_count(spark, sf_dir):
+    """tf_idf: tf agg (1 exchange on (doc,token)), df agg (1 on token), the
+    tf-df join (≤1 more on the skew key), and a BROADCAST single-row corpus
+    size — never a shuffled cross join. top_terms adds the per-doc window
+    (1 exchange). Budgets guard against accidental extra shuffles."""
+    from pystreamfs_spark.operators.tfidf import tf_idf, top_terms
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = tf_idf(d, idf="ratio")
+    text = explain_str(scored)
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text, text[:2000]
+    # deliberate shape (like ngram_jaccard): the token explode + tf agg runs
+    # at most TWICE (tf side; dfreq derives from tf on a different shuffle
+    # key, so ReuseExchange cannot dedupe) — budget 5 guards against a third
+    assert count_exchanges(scored) <= 5, text[:3000]
+    topped = top_terms(d, n=3, idf="ratio")
+    assert count_exchanges(topped) <= 6, explain_str(topped)[:3000]
