@@ -689,6 +689,15 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(d, pairs, id_col="doc_id")
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """The composed near-dedup pass, one call: MinHash-LSH candidates →
+    ≥2-band agreement → connected components → canonical per cluster."""
+    from pystreamfs_spark.operators.dedup import near_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return near_dedup(d, n_bands=8, k=3, min_shared_bands=2)
+
+
 def q_tfidf_top(spark, sf_dir):
     """Top-3 TF-IDF terms per document, idf='ratio' (N/df — IEEE-exact in
     both engines; the ln weighting is engine-side, tested by pytest)."""
@@ -824,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cancelout_weights": _fold_query("cancelout", {}),
         "prequential_ofs": q_prequential_ofs,
         # ---- driver-window boundary (50 keys above) ----
+        "dedup_pipeline": q_dedup_pipeline,
         "tfidf_top": q_tfidf_top,
         "hash_split": q_hash_split,
         "chunk_tokens": q_chunk_tokens,
@@ -1442,6 +1452,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.label, p.k_windows,
                    ROUND(1.0 - (COALESCE(v.s2_sum, 0) / 64.0) / ((5.0 / 64.0) * (1 - 5.0 / 64.0)), 6) AS stability
             FROM per_entity p LEFT JOIN var_sum v ON p.label = v.label
+        """,
+        # the composed pipeline: minhash candidate SQL (same CTE chain as
+        # the minhash_candidates oracle) + >=2-band agreement + recursive-CTE
+        # connected components, seeded with every document.
+        "dedup_pipeline": f"""
+            WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh0 AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+                          ELSE [array_to_string(t, ' ')] END AS shingles
+              FROM toks),
+            sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+            h AS (SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) % 1000000007 AS h FROM sh),
+            sig AS (SELECT doc_id,
+                   MIN((769886857 * h + 526584577) % 1000000007) AS s0,
+                   MIN((330267121 * h + 881231311) % 1000000007) AS s1,
+                   MIN((550510817 * h + 135164743) % 1000000007) AS s2,
+                   MIN((910286881 * h + 978055981) % 1000000007) AS s3,
+                   MIN((232492867 * h + 375134737) % 1000000007) AS s4,
+                   MIN((676943009 * h + 655087259) % 1000000007) AS s5,
+                   MIN((487110253 * h + 319336289) % 1000000007) AS s6,
+                   MIN((133303867 * h + 764499131) % 1000000007) AS s7
+                   FROM h GROUP BY doc_id),
+            bands AS (SELECT doc_id, 0 AS band, s0 AS sig FROM sig
+            UNION ALL SELECT doc_id, 1, s1 FROM sig
+            UNION ALL SELECT doc_id, 2, s2 FROM sig
+            UNION ALL SELECT doc_id, 3, s3 FROM sig
+            UNION ALL SELECT doc_id, 4, s4 FROM sig
+            UNION ALL SELECT doc_id, 5, s5 FROM sig
+            UNION ALL SELECT doc_id, 6, s6 FROM sig
+            UNION ALL SELECT doc_id, 7, s7 FROM sig),
+            cand AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+                     FROM bands a JOIN bands c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
+                     GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            edges AS (SELECT id_a AS u, id_b AS w FROM cand
+                      UNION ALL SELECT id_b, id_a FROM cand),
+            reach(id, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r ON e.w = r.id)
+            SELECT id AS doc_id, MIN(label) AS component, (id = MIN(label)) AS is_canonical
+            FROM reach GROUP BY id
         """,
         # CC over SimHash Hamming-0 pairs: the recursive CTE computes, for
         # every doc, the min doc_id reachable through shared signatures —

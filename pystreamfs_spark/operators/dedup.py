@@ -295,6 +295,38 @@ def ngram_jaccard_pairs(
     return pairs.where(F.col("jaccard") >= threshold)
 
 
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 8,
+    k: int = 3,
+    band_r: int = 1,
+    min_shared_bands: int = 2,
+    max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
+    max_iter: int = 25,
+) -> DataFrame:
+    """The composed end-to-end near-dedup pass: MinHash-LSH candidate pairs
+    → band-agreement filter (``min_shared_bands`` raises the effective
+    Jaccard threshold along the LSH S-curve) → connected components →
+    one canonical document per cluster. Output: (id, component,
+    is_canonical) for EVERY input document (non-duplicates are their own
+    singleton components).
+
+    This is the pipeline a 100 TB corpus actually runs: every stage is
+    bucketed/bounded (never all-pairs), and the final union step is the
+    O(log d)-round CC of :mod:`operators.graph` — similarity is not
+    transitive, so overlapping pairs must be merged before choosing
+    keepers."""
+    from pystreamfs_spark.operators.graph import dedup_components
+
+    pairs = minhash_lsh_candidates(
+        df, text_col, id_col, n_bands, k, band_r, max_bucket_size, hash_fn
+    ).where(F.col("n_shared_bands") >= min_shared_bands)
+    return dedup_components(df, pairs, id_col=id_col, max_iter=max_iter)
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
