@@ -70,6 +70,50 @@ def tf_idf(
     )
 
 
+def bm25(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Per (doc, token) Okapi BM25 weights — the retrieval-grade scorer the
+    ln-idf TF-IDF approximates. Same plan shape as :func:`tf_idf` plus one
+    more single-row broadcast (the average document length):
+
+        idf  = ln(1 + (N − df + 0.5) / (df + 0.5))
+        norm = tf · (k1+1) / (tf + k1 · (1 − b + b · len/avglen))
+        bm25 = idf · norm
+
+    The ln makes scores engine-internal (no cross-engine exact oracle —
+    same caveat as ``idf="ln"``); parity is pinned against a NumPy
+    reference in tests. Output: (id, token, tf, doc_freq, bm25)."""
+    tf = term_frequencies(df, text_col, id_col)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("doc_freq") <= max_df)
+    dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("__dl"))
+    corpus = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("__dl").alias("avg_dl")
+    )
+    joined = (
+        tf.join(dfreq, "token")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    n, dfq = F.col("n_docs").cast("double"), F.col("doc_freq").cast("double")
+    idf = F.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+    tf_d = F.col("tf").cast("double")
+    norm = (
+        tf_d * (k1 + 1.0)
+        / (tf_d + k1 * (1.0 - b + b * F.col("__dl").cast("double") / F.col("avg_dl")))
+    )
+    return joined.select(
+        F.col(id_col), "token", "tf", "doc_freq", (idf * norm).alias("bm25")
+    )
+
+
 def top_terms(
     df: DataFrame,
     text_col: str = "text",

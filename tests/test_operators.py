@@ -479,3 +479,55 @@ def test_dedup_components_empty_pairs(spark):
     out = dedup_components(docs, pairs).collect()
     assert len(out) == 5
     assert all(r.component == r.doc_id and r.is_canonical for r in out)
+
+
+def test_bm25_matches_numpy_reference(spark):
+    """BM25 weights allclose to an independent NumPy computation of the
+    Okapi formula over the same token counts."""
+    import math
+
+    from pystreamfs_spark.operators.tfidf import bm25
+
+    rows = [
+        (1, "apple apple banana common common"),
+        (2, "banana cherry common"),
+        (3, "cherry cherry cherry common date"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.doc_id, r.token): r.bm25 for r in bm25(d, k1=1.2, b=0.75).collect()}
+
+    docs = {i: t.split() for i, t in rows}
+    n = len(docs)
+    dls = {i: len(t) for i, t in docs.items()}
+    avg_dl = sum(dls.values()) / n
+    dfreq = {}
+    for t in docs.values():
+        for tok in set(t):
+            dfreq[tok] = dfreq.get(tok, 0) + 1
+    for (doc, tok), v in got.items():
+        tf = docs[doc].count(tok)
+        idf = math.log(1.0 + (n - dfreq[tok] + 0.5) / (dfreq[tok] + 0.5))
+        norm = tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[doc] / avg_dl))
+        assert v == pytest.approx(idf * norm, rel=1e-12), (doc, tok)
+    assert len(got) == sum(len(set(t)) for t in docs.values())
+    # rarer term outranks a common one at equal tf
+    assert got[(3, "date")] > got[(3, "common")]
+
+
+def test_embedding_near_dups_compose_with_components(spark, sf_dir):
+    """The CC canonicalizer composes with the embedding near-dup pairs too
+    (edge-list agnostic): every vector gets a component, components agree
+    with the pair graph."""
+    from pystreamfs_spark.operators.ann import cosine_self_similar
+    from pystreamfs_spark.operators.graph import dedup_components
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = cosine_self_similar(emb, dims=64, threshold=0.3, n_planes=4)
+    out = dedup_components(
+        emb.select("vec_id"), pairs, id_col="vec_id", src="id_a", dst="id_b"
+    )
+    assert out.count() == emb.count()
+    # every pair's two endpoints share a component
+    lab = {r.vec_id: r.component for r in out.collect()}
+    for p in pairs.collect():
+        assert lab[p.id_a] == lab[p.id_b], (p.id_a, p.id_b)
