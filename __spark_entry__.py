@@ -1540,7 +1540,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "chunk_tokens": f"""
-            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            WITH toks AS (SELECT doc_id,
+                          string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS t
+                          FROM documents),
             cks AS (SELECT doc_id,
                            [t[(i*32+1):(i*32+32)] for i in range(0, CAST((len(t)+31)//32 AS BIGINT))] AS chunks
                     FROM toks),

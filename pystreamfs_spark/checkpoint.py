@@ -177,31 +177,36 @@ class CheckpointedFold:
         fold_sec = round(time.perf_counter() - t0, 3)
         self._last_fold_plan = weights_all  # introspection hook (plan-shape tests)
         done: list[int] = []
-        for epoch in todo:
-            t1 = time.perf_counter()
-            weights = weights_all.where(F.col("__epoch") == epoch).drop("__epoch")
-            wpath = os.path.join(self.out_dir, "weights", f"epoch={epoch}")
-            weights.write.mode("overwrite").parquet(wpath)
-            lineage_rows(weights, self.entity_col).write.mode("overwrite").parquet(
-                os.path.join(self.out_dir, "lineage", f"epoch={epoch}")
-            )
-            metrics_rows(weights).write.mode("overwrite").parquet(
-                os.path.join(self.out_dir, "metrics", f"epoch={epoch}")
-            )
-            n = weights.count()
-            self._commit(
-                epoch,
-                {
-                    "epoch": epoch,
-                    "kernel": kernel,
-                    "n_windows": n,
-                    "elapsed_sec": round(time.perf_counter() - t1, 3),
-                    "fold_sec_shared": fold_sec,  # one fold amortized over todo
-                    "committed_at_mono": time.monotonic(),
-                },
-            )
-            done.append(epoch)
-        weights_all.unpersist()
+        # try/finally: run() is exactly the interrupt/resume path — a failed
+        # per-epoch write or ledger commit must not leak the cached fold
+        # output across repeated resume cycles on a long-lived driver.
+        try:
+            for epoch in todo:
+                t1 = time.perf_counter()
+                weights = weights_all.where(F.col("__epoch") == epoch).drop("__epoch")
+                wpath = os.path.join(self.out_dir, "weights", f"epoch={epoch}")
+                weights.write.mode("overwrite").parquet(wpath)
+                lineage_rows(weights, self.entity_col).write.mode("overwrite").parquet(
+                    os.path.join(self.out_dir, "lineage", f"epoch={epoch}")
+                )
+                metrics_rows(weights).write.mode("overwrite").parquet(
+                    os.path.join(self.out_dir, "metrics", f"epoch={epoch}")
+                )
+                n = weights.count()
+                self._commit(
+                    epoch,
+                    {
+                        "epoch": epoch,
+                        "kernel": kernel,
+                        "n_windows": n,
+                        "elapsed_sec": round(time.perf_counter() - t1, 3),
+                        "fold_sec_shared": fold_sec,  # one fold amortized over todo
+                        "committed_at_mono": time.monotonic(),
+                    },
+                )
+                done.append(epoch)
+        finally:
+            weights_all.unpersist()
         return done
 
     def weights(self) -> DataFrame:

@@ -83,8 +83,10 @@ def efs_update(state: EFSState, X: np.ndarray, y: np.ndarray) -> tuple[EFSState,
     falls back to the per-row loop for the rest of the window when density
     > 30% (the rescan matvecs would be pure overhead); windows smaller than
     _VECTOR_MIN_ROWS take the per-row path directly. The matvec only
-    pre-filters rows safely above the margin (score·y > M + B for a
-    relative band B ≫ the BLAS rounding gap; non-finite scores stay
+    pre-filters rows safely above the margin (score·y > M + B where B is
+    the rigorous forward-error bound built from the absolute-value dots —
+    valid for any summation order, covering BLAS-vs-scalar gaps under
+    cancellation; non-finite scores stay
     candidates); every candidate is re-decided with the reference's scalar
     ``np.dot(x, u) - np.dot(x, v) - threshold`` under the then-current
     (u, v), and the per-event update is unchanged — the (u, v) trajectory
@@ -122,7 +124,16 @@ def efs_update(state: EFSState, X: np.ndarray, y: np.ndarray) -> tuple[EFSState,
             seg_stop = min(n, i + chunk)
             seg = Xn[i:seg_stop]
             t = (seg @ u - seg @ v - state.threshold) * yy_all[i:seg_stop]
-            band = 1e-9 * (1.0 + np.abs(t))
+            # rigorous pre-filter band (see kernels/ofs.py): each dot's
+            # gemv-vs-scalar gap is ≤ γ_m·Σ|xᵢuᵢ| (any summation order), and
+            # the score's subtractions add eps-relative terms — catastrophic
+            # cancellation between ⟨x,u⟩ and ⟨x,v⟩ is exactly where a
+            # relative-in-t band under-covers, so the bound is built from the
+            # ABSOLUTE-value dots. Factor 4 slack; NaN stays a candidate.
+            absseg = np.abs(seg)
+            band = (4.0 * Xn.shape[1] * np.finfo(np.float64).eps) * (
+                absseg @ np.abs(u) + absseg @ np.abs(v)
+            ) + 4.0 * np.finfo(np.float64).eps * (np.abs(t) + abs(state.threshold))
             idxs = np.flatnonzero(~(t > state.M + band))
             dense = idxs.size > 0.3 * (seg_stop - i)
             advanced = False

@@ -81,8 +81,10 @@ def ofs_update(state: OFSState, X: np.ndarray, y: np.ndarray) -> tuple[OFSState,
 
     Decisions stay EXACTLY the reference's either way: the matvec only
     *pre-filters* rows that are safely non-violating (margin above 1 + B
-    for a relative band B ≫ the BLAS gemv-vs-dot rounding gap, and any
-    non-finite margin stays a candidate); every candidate row is re-decided
+    where B is the rigorous forward-error bound 4·m·eps·Σ|wᵢxᵢ| — valid
+    for ANY summation order, so it covers the BLAS-vs-scalar gap even
+    under catastrophic cancellation — and any non-finite margin stays a
+    candidate); every candidate row is re-decided
     with the reference's own scalar ``np.dot(w, x) <= 1.0`` under the
     then-current w, and the update arithmetic per event is unchanged — so
     the weight trajectory is bit-identical to the per-row loop (asserted by
@@ -116,9 +118,16 @@ def ofs_update(state: OFSState, X: np.ndarray, y: np.ndarray) -> tuple[OFSState,
                         w = _truncate_top(w, keep)
                 break
             seg_stop = min(n, i + chunk)
-            t = yy_all[i:seg_stop] * (X[i:seg_stop] @ w)
-            # safely non-violating ⇔ t > 1 + B; NaN compares False → candidate
-            band = 1e-9 * (1.0 + np.abs(t))
+            seg = X[i:seg_stop]
+            t = yy_all[i:seg_stop] * (seg @ w)
+            # safely non-violating ⇔ t > 1 + B with B the RIGOROUS dot-product
+            # forward-error bound: for any summation order (BLAS gemv blocked
+            # sums included), |fl(Σ wᵢxᵢ) − Σ wᵢxᵢ| ≤ γ_m·Σ|wᵢxᵢ| with
+            # γ_m ≈ m·eps — so gemv and the reference's scalar dot can differ
+            # by at most 2γ_m·Σ|wᵢxᵢ| even under catastrophic cancellation
+            # (a relative-in-t band misses exactly that case). Factor 4 for
+            # slack; NaN compares False → stays a candidate.
+            band = (4.0 * X.shape[1] * np.finfo(np.float64).eps) * (np.abs(seg) @ np.abs(w))
             idxs = np.flatnonzero(~(t > 1.0 + band))
             dense = idxs.size > 0.3 * (seg_stop - i)
             advanced = False

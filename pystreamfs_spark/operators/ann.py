@@ -157,33 +157,42 @@ def kmeans_centroids(
         train = train.sample(fraction=sample_fraction, seed=seed)
     train = train.cache()
     spark = corpus.sparkSession
-    cent = _surrogate_centroids(train, n_cells, id_col, vec_col)
-    # materialize (cell, vector) — tiny by definition of a codebook
-    cent_rows = [(int(r["cell"]), [float(x) for x in r["__cv"]]) for r in cent.collect()]
-    for _ in range(n_iters):
-        cdf = spark.createDataFrame(cent_rows, "cell int, __cv array<double>")
-        cent_row = cdf.agg(F.collect_list(F.struct("cell", "__cv")).alias("__cells"))
-        assigned = (
-            train.crossJoin(F.broadcast(cent_row))
-            .select(
-                F.col(vec_col),
-                (-F.element_at(_ranked_cells(vec_col), 1)["negcell"]).alias("cell"),
+    try:
+        cent = _surrogate_centroids(train, n_cells, id_col, vec_col)
+        # materialize (cell, vector) — tiny by definition of a codebook
+        cent_rows = [(int(r["cell"]), [float(x) for x in r["__cv"]]) for r in cent.collect()]
+        if not cent_rows:
+            # clear driver-side contract error instead of an ANSI
+            # element_at crash deep inside the first Lloyd job
+            raise ValueError(
+                "kmeans_centroids: empty training set (corpus empty, all "
+                "vectors null, or sample_fraction too small)"
             )
-        )
-        means = (
-            assigned.select("cell", F.posexplode(F.col(vec_col).cast("array<double>")))
-            .groupBy("cell", "pos")
-            .agg(F.avg("col").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                ).alias("__cv")
+        for _ in range(n_iters):
+            cdf = spark.createDataFrame(cent_rows, "cell int, __cv array<double>")
+            cent_row = cdf.agg(F.collect_list(F.struct("cell", "__cv")).alias("__cells"))
+            assigned = (
+                train.crossJoin(F.broadcast(cent_row))
+                .select(
+                    F.col(vec_col),
+                    (-F.try_element_at(_ranked_cells(vec_col), F.lit(1))["negcell"]).alias("cell"),
+                )
             )
-        )
-        new = {int(r["cell"]): [float(x) for x in r["__cv"]] for r in means.collect()}
-        cent_rows = [(c, new.get(c, v)) for c, v in cent_rows]  # empty cell → keep old
-    train.unpersist()
+            means = (
+                assigned.select("cell", F.posexplode(F.col(vec_col).cast("array<double>")))
+                .groupBy("cell", "pos")
+                .agg(F.avg("col").alias("m"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                    ).alias("__cv")
+                )
+            )
+            new = {int(r["cell"]): [float(x) for x in r["__cv"]] for r in means.collect()}
+            cent_rows = [(c, new.get(c, v)) for c, v in cent_rows]  # empty cell → keep old
+    finally:
+        train.unpersist()
     return spark.createDataFrame(cent_rows, "cell int, __cv array<double>")
 
 
@@ -246,12 +255,15 @@ def ivf_cosine_topk(
     # (sim desc, cell asc) inside a sorted struct array
     cent_row = cent.agg(F.collect_list(F.struct("cell", "__cv")).alias("__cells"))
 
+    # try_element_at (not element_at — ANSI mode is on): an EMPTY codebook
+    # yields NULL cells, so the probe join produces an empty result instead
+    # of an INVALID_ARRAY_INDEX crash mid-job.
     cb = (
         corpus.crossJoin(F.broadcast(cent_row))
         .select(
             F.col(id_col),
             F.col(vec_col),
-            (-F.element_at(_ranked_cells(vec_col), 1)["negcell"]).alias("cell"),
+            (-F.try_element_at(_ranked_cells(vec_col), F.lit(1))["negcell"]).alias("cell"),
         )
     )
     qb = (

@@ -29,11 +29,14 @@ def chunk_by_tokens(
 ) -> DataFrame:
     """Output: (id, chunk_id, chunk_text, n_tokens), one row per chunk,
     chunk_id counting from 0 in document order. Every document yields at
-    least one chunk (the tokenizer never returns an empty array)."""
+    least one chunk — NULL text coalesces to '' (one empty chunk) rather
+    than silently dropping the document from the output."""
     if chunk_size < 1:
         raise ValueError("chunk_size must be >= 1")
     cs = F.lit(chunk_size)
-    t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    t = df.select(
+        F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t")
+    )
     # ceil-div via integers: n_chunks = (n + cs - 1) / cs
     n_chunks = (F.size(F.col("__t")) + cs - F.lit(1)).cast("long") / F.lit(chunk_size)
     n_chunks = F.floor(n_chunks).cast("int")

@@ -184,14 +184,23 @@ def minhash_bucket_audit(
     band_r: int = 1,
     max_bucket_size: int | None = None,
     hash_fn: str = "md5",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Recall-loss audit for :func:`minhash_lsh_candidates`'s
     ``max_bucket_size`` cap: one row of aggregate bucket statistics, with
     ``est_pairs_dropped`` = Σ n·(n−1)/2 over dropped buckets — the number of
-    candidate pairs the cap silently removed. At 100 TB run this alongside
-    the candidate job (same signature computation; one extra small agg) so
-    the cap is an audited trade, not a silent one."""
-    sig = minhash_signatures(df, text_col, id_col, n_bands, k, band_r, hash_fn)
+    candidate pairs the cap silently removed.
+
+    At 100 TB pass ``signatures`` — a persisted/materialized output of
+    :func:`minhash_signatures` shared with the candidate job — so the audit
+    is genuinely one extra small agg; without it this recomputes the full
+    shingle+minhash pipeline (the dominant cost of the dedup pass) from
+    ``df``, and the signature params must then match the candidate job's."""
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, n_bands, k, band_r, hash_fn)
+    )
     sizes = sig.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n"))
     cap = F.lit(max_bucket_size) if max_bucket_size is not None else None
     dropped = (F.col("n") > cap) if cap is not None else F.lit(False)

@@ -207,3 +207,32 @@ def test_large_window_scan_path_bit_identical():
         )
         assert np.array_equal(w_eefs, w_refe), f"efs {name}"
         assert np.array_equal(est.u, u_ref) and np.array_equal(est.v, v_ref)
+
+
+def test_scan_path_bit_identical_under_cancellation():
+    """Adversarial regime for the pre-filter band (code-review r03): huge
+    feature magnitudes where <w,x> suffers catastrophic cancellation, so a
+    relative-in-t band would misclassify near-margin rows as safe. The
+    rigorous absolute-dot bound must keep the trajectory bit-identical."""
+    import numpy as np
+
+    from oracle_ref import efs_window, ofs_window
+    from pystreamfs_spark.kernels.efs import EFSState, efs_update
+    from pystreamfs_spark.kernels.ofs import _VECTOR_MIN_ROWS, OFSState, ofs_update
+
+    rng = np.random.default_rng(77)
+    m, n = 16, 3000
+    assert n >= _VECTOR_MIN_ROWS
+    # paired ±huge columns: products ~1e8 cancel to O(1..1e3) margins
+    base = rng.normal(size=(n, m // 2)) * 1e4
+    X = np.concatenate([base, -base + rng.normal(size=(n, m // 2))], axis=1)
+    y = rng.integers(0, 2, size=n).astype(float)
+
+    _, w_eng = ofs_update(OFSState.init(m, 5), X, y)
+    w_ref = ofs_window(X, y, np.zeros(m), 5)
+    assert np.array_equal(w_eng, w_ref), "ofs cancellation"
+
+    est, w_eefs = efs_update(EFSState.init(m), X, y)
+    w_refe, u_ref, v_ref = efs_window(X, y, np.ones(m) * 2, np.ones(m), 1.5, 0.5, 1.0, 1.0)
+    assert np.array_equal(w_eefs, w_refe), "efs cancellation"
+    assert np.array_equal(est.u, u_ref) and np.array_equal(est.v, v_ref)

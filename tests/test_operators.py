@@ -406,7 +406,7 @@ def test_stratified_hash_sample_rates_and_determinism(spark):
 def test_chunk_by_tokens_covers_and_is_ragged(spark):
     from pystreamfs_spark.operators.chunk import chunk_by_tokens
 
-    rows = [(1, " ".join(f"w{i}" for i in range(10))), (2, "short doc"), (3, "")]
+    rows = [(1, " ".join(f"w{i}" for i in range(10))), (2, "short doc"), (3, ""), (4, None)]
     d = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = chunk_by_tokens(d, chunk_size=4).orderBy("doc_id", "chunk_id").collect()
     by_doc = {}
@@ -418,6 +418,7 @@ def test_chunk_by_tokens_covers_and_is_ragged(spark):
     assert [c.chunk_id for c in by_doc[1]] == [0, 1, 2]
     assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 2
     assert len(by_doc[3]) == 1  # empty text → one empty-token chunk
+    assert len(by_doc[4]) == 1  # NULL text → coalesced, doc NOT dropped
     # reassembling chunks reproduces the normalized text
     joined = " ".join(c.chunk_text for c in by_doc[1])
     assert joined == " ".join(f"w{i}" for i in range(10))
