@@ -71,3 +71,42 @@ def test_iceberg_hidden_partitioning_and_snapshots(spark, tmp_path):
         assert one_day.count() <= 2 * t.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS ice.db.turns")
+
+
+def test_bucketed_sorted_table_fold_is_shuffle_free_and_exact(spark, tmp_path):
+    """The README/fold contract claim, proven against a real catalog table:
+    a table bucketed by conv_id and sorted by (conv_id, turn_idx, ts)
+    satisfies assume_partitioned — the fold plan has ZERO exchanges and the
+    weights are bit-identical to the grouped fold. (Single writer task →
+    one file per bucket, so within-bucket sort order survives the read —
+    the standard Spark bucketing deployment caveat.)"""
+    from pystreamfs_spark.fold import fold_weights, fold_weights_stream
+    from pystreamfs_spark.functions.features import featurize_turns
+    from pystreamfs_spark.plans import count_exchanges, explain_str
+
+    f = featurize_turns(synthesize_transcripts(spark, n_convs=40, seed=9)).select(
+        "conv_id", "turn_idx", "ts", "features", "label"
+    )
+    spark.sql("DROP TABLE IF EXISTS bucketed_turns")
+    (
+        f.repartition(1)
+        .write.format("parquet")
+        .bucketBy(4, "conv_id")
+        .sortBy("conv_id", "turn_idx", "ts")
+        .option("path", str(tmp_path / "bucketed_turns"))
+        .saveAsTable("bucketed_turns")
+    )
+    try:
+        bt = spark.table("bucketed_turns")
+        folded = fold_weights_stream(bt, kernel="ofs", batch_size=10, assume_partitioned=True)
+        assert count_exchanges(folded) == 0, explain_str(folded)[:3000]
+        got = {
+            (r.conv_id, r.window_id): (list(r.w), list(r.selected)) for r in folded.collect()
+        }
+        want = {
+            (r.conv_id, r.window_id): (list(r.w), list(r.selected))
+            for r in fold_weights(f, kernel="ofs", batch_size=10).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_turns")
