@@ -689,6 +689,21 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(d, pairs, id_col="doc_id")
 
 
+def q_audio_features(spark, sf_dir):
+    from pystreamfs_spark.functions.multimodal import extract_audio_features, synthesize_media
+
+    media = synthesize_media(spark, n_rows=256, seed=42)
+    out = extract_audio_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sample_rate",
+        "duration_s",
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + F.abs(x)), 6).alias("emb_l1"),
+    )
+
+
 def q_dedup_pipeline(spark, sf_dir):
     """The composed near-dedup pass, one call: MinHash-LSH candidates →
     ≥2-band agreement → connected components → canonical per cluster."""
@@ -845,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsds_fast_weights": q_fsds_fast,
         "nogueira_kernel": q_nogueira_kernel,
         "video_frames": q_video_frames,
+        "audio_features": q_audio_features,
     }
 
 

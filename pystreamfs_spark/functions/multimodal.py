@@ -261,3 +261,70 @@ def synthesize_media(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
         ).alias("payload"),
     )
     return base
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+_AUDIO_STRIDE = np.uint64(0xEB44ACCAB455D165)  # distinct counter plane for audio
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    kind_col: str = "kind",
+    emb_dim: int = 16,
+) -> DataFrame:
+    """Audio twin of :func:`extract_image_features`: binary payload →
+    (sample_rate, duration, embedding) via Arrow-batched ``mapInPandas``.
+    The STUB derives waveform metadata and a unit-norm "mel-band" embedding
+    from the payload digest on a distinct counter plane (deterministic per
+    payload, independent of batching/partitioning); a real decoder
+    (torchaudio/ffmpeg — not in this container) replaces only the marked
+    block, schema and callers unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            data = [bytes(p) if p is not None else b"" for p in pdf[payload_col]]
+            n = len(data)
+            # --- STUB decode (replace with torchaudio.load / ffprobe) ---
+            digests = b"".join(hashlib.md5(p).digest() for p in data)
+            raw = np.frombuffer(digests, dtype=np.uint8).reshape(n, 16)
+            rates = np.array([8000, 16000, 22050, 44100], dtype=np.int32)
+            sample_rate = rates[raw[:, 0] % 4]
+            duration = np.round(0.5 + (raw[:, 1].astype(np.float64) * 256 + raw[:, 2]) / 65535.0 * 29.5, 3)
+            seeds = raw[:, 2:10].copy().view(np.uint64).ravel() + _AUDIO_STRIDE
+            half = (emb_dim + 1) // 2
+            ctr = np.arange(1, 2 * half + 1, dtype=np.uint64) * _GOLD
+            words = _mix64(seeds[:, None] + ctr[None, :])
+            u = (words >> np.uint64(11)).astype(np.float64) * 2.0**-53
+            u1 = np.clip(u[:, :half], 1e-300, None)
+            u2 = u[:, half:]
+            r = np.sqrt(-2.0 * np.log(u1))
+            emb = np.concatenate(
+                [r * np.cos(2 * np.pi * u2), r * np.sin(2 * np.pi * u2)], axis=1
+            )[:, :emb_dim]
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.where(norms == 0, 1.0, norms)
+            # --- end STUB ---
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "kind": pdf[kind_col].astype(str),
+                    "n_bytes": np.fromiter((len(b) for b in data), dtype=np.int64, count=n),
+                    "sample_rate": sample_rate,
+                    "duration_s": duration,
+                    "embedding": list(emb),
+                }
+            )
+
+    return df.select(id_col, kind_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -100,3 +100,34 @@ def test_resize_changes_embedding_but_pins_dims(spark):
     other = {r.media_id: tuple(r.embedding) for r in resize_image_features(media, 64, 48).collect()}
     again = {r.media_id: tuple(r.embedding) for r in resize_image_features(media, 32, 32).collect()}
     assert again == resized and all(other[k] != resized[k] for k in resized)
+
+
+def test_audio_features_deterministic_and_distinct_plane(spark):
+    """Audio features: partition-independent and deterministic; the audio
+    counter plane yields a DIFFERENT embedding than the image stub for the
+    same payload (a real pipeline's decoders differ per modality); metadata
+    within physical ranges."""
+    import numpy as np
+
+    from pystreamfs_spark.functions.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n_rows=48, seed=11)
+    a = {
+        r.media_id: (r.sample_rate, r.duration_s, tuple(r.embedding))
+        for r in extract_audio_features(media.repartition(5)).collect()
+    }
+    b = {
+        r.media_id: (r.sample_rate, r.duration_s, tuple(r.embedding))
+        for r in extract_audio_features(media.coalesce(1)).collect()
+    }
+    assert a == b and len(a) == 48
+    img = {r.media_id: tuple(r.embedding) for r in extract_image_features(media).collect()}
+    assert all(a[k][2] != img[k] for k in a)
+    for sr, dur, emb in a.values():
+        assert sr in (8000, 16000, 22050, 44100)
+        assert 0.5 <= dur <= 30.0
+        assert np.isclose(np.linalg.norm(emb), 1.0)
