@@ -532,3 +532,29 @@ def test_embedding_near_dups_compose_with_components(spark, sf_dir):
     lab = {r.vec_id: r.component for r in out.collect()}
     for p in pairs.collect():
         assert lab[p.id_a] == lab[p.id_b], (p.id_a, p.id_b)
+
+
+def test_near_dedup_clusters_crafted_duplicates(spark):
+    """Three crafted groups: exact triplet, a near-pair sharing most
+    shingles, and two unrelated docs — the composed pipeline must cluster
+    the first two groups and leave the rest as canonical singletons."""
+    from pystreamfs_spark.operators.dedup import near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    rows = [
+        (1, base), (2, base), (3, base),          # exact triplet
+        (4, near),                                # near-dup of the triplet
+        (10, "completely different content about spark scaling strategies"),
+        (11, "another unrelated document describing minhash banding"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.component, r.is_canonical) for r in near_dedup(
+        d, n_bands=8, k=3, band_r=1, min_shared_bands=2
+    ).collect()}
+    assert len(out) == 6
+    # the exact triplet collapses to component 1; doc 4 joins via shared bands
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[4][0] == 1 and not out[4][1]
+    # unrelated docs stay singleton canonicals
+    assert out[10] == (10, True) and out[11] == (11, True)
