@@ -689,6 +689,25 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(d, pairs, id_col="doc_id")
 
 
+
+
+def q_cube_events(spark, sf_dir):
+    """Full CUBE over (event_type, day-of-week) with grouping indicators —
+    completes the ROLLUP / pivot / CUBE grouping-sets triple."""
+    ev = _t(spark, sf_dir, "events")
+    j = ev.select(
+        "event_type",
+        F.date_format("ts", "EEEE").alias("dow"),
+        "value",
+    )
+    return j.cube("event_type", "dow").agg(
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("dow").cast("int").alias("g_dow"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("v_sum"),
+    )
+
+
 def q_audio_features(spark, sf_dir):
     from pystreamfs_spark.functions.multimodal import extract_audio_features, synthesize_media
 
@@ -854,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens": q_chunk_tokens,
         "stratified_sample": q_stratified_sample,
         "pii_mask": q_pii_mask,
+        "cube_events": q_cube_events,
         "ivf_ann_trained": q_ivf_ann_trained,  # rows-only: k-means codebook
         "prequential_stream": q_prequential_stream,
         "fscr_kernel": q_fscr_kernel,
@@ -1057,6 +1077,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders,
                    ROUND(SUM(o_totalprice), 2) AS revenue
             FROM j GROUP BY ROLLUP (n_name, o_year)
+        """,
+        "cube_events": """
+            WITH j AS (SELECT event_type, dayname(ts) AS dow, value FROM events)
+            SELECT event_type, dow,
+                   CAST(GROUPING(event_type) AS INT) AS g_type,
+                   CAST(GROUPING(dow) AS INT) AS g_dow,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS v_sum
+            FROM j GROUP BY CUBE (event_type, dow)
         """,
         "event_pivot": """
             SELECT user_id,
