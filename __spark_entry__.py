@@ -667,6 +667,17 @@ def q_simhash_near(spark, sf_dir):
     return simhash_near_duplicates(_t(spark, sf_dir, "documents"), n_bits=16, d=1)
 
 
+def q_simhash_banded_near(spark, sf_dir):
+    """Hamming ≤ 3 via the banded-signature split (4 bands × 4 bits,
+    pigeonhole-complete) — the d>2 scale path where bit-flip probing would
+    need 697 probes/doc. The engine emits each pair exactly once at its
+    first agreeing band; the oracle reaches the identical set with DISTINCT
+    over all band collisions."""
+    from pystreamfs_spark.operators.dedup import simhash_banded_near_duplicates
+
+    return simhash_banded_near_duplicates(_t(spark, sf_dir, "documents"), n_bits=16, d=3)
+
+
 # --------------------------------------------------------------------------
 
 
@@ -700,11 +711,15 @@ def q_cube_events(spark, sf_dir):
         F.date_format("ts", "EEEE").alias("dow"),
         "value",
     )
+    # round 2 (not 4) like every other value-sum oracle: the CUBE grand
+    # total is the largest FP sum in the suite and its addition order is
+    # engine-specific; 2-dp rounding boundaries are 100x sparser, keeping
+    # the exact-hash compare out of FP-order reach (ADVICE r03).
     return j.cube("event_type", "dow").agg(
         F.grouping("event_type").cast("int").alias("g_type"),
         F.grouping("dow").cast("int").alias("g_dow"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("v_sum"),
+        F.round(F.sum("value"), 2).alias("v_sum"),
     )
 
 
@@ -739,6 +754,25 @@ def q_tfidf_top(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return top_terms(d, n=3, idf="ratio")
+
+
+def q_bm25_top(spark, sf_dir):
+    """Top-3 Okapi BM25 terms per document (deterministic rank: score DESC,
+    token ASC). Rows-only by necessity: ln-idf is transcendental so
+    cross-engine bit-identity cannot be promised (same caveat as
+    ``tf_idf(idf='ln')``); allclose parity is pinned against the NumPy
+    reference in tests/test_operators.py::test_bm25_matches_numpy_reference.
+    Scores rounded to 6 dp to keep the column hashable-stable in-engine."""
+    from pystreamfs_spark.operators.tfidf import bm25
+
+    d = _t(spark, sf_dir, "documents")
+    scored = bm25(d, max_df=None)
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "doc_freq", F.round("bm25", 6).alias("bm25"), "rank")
+    )
 
 
 def q_hash_split(spark, sf_dir):
@@ -804,6 +838,19 @@ def q_pii_mask(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # ROTATION POLICY (see window-boundary note below): the driver
+        # checks exactly the first 50 keys each round. Every oracled query
+        # must get a driver-green CORRECTNESS row at least once every two
+        # rounds: entries hash-green in BOTH of the last two rounds are
+        # eligible to rotate to the tail; any oracled entry whose last
+        # driver row is older than one round rotates back into the window.
+        # r04 rotation: IN — dedup_pipeline, tfidf_top, hash_split,
+        # chunk_tokens, stratified_sample, pii_mask, cube_events (oracled,
+        # pytest-proven r03) + bm25_top (new, rows-only). OUT (all green in
+        # r02 AND r03) — sliding_2h, asof_join_broadcast, resized_features,
+        # multimodal_features, fsds_weights, efs_weights, mcnn_weights,
+        # cancelout_weights. ofs_weights/prequential_ofs stay as the §2
+        # kernel anchors.
         "sessionize": q_sessionize,
         "count_windows": q_count_windows,
         "lag_lead": q_lag_lead,
@@ -811,10 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling": q_rolling,
         "strict_prefix": q_strict_prefix,
         "asof_join": q_asof_join,
-        "asof_join_broadcast": q_asof_join_broadcast,
         "session_stats": q_session_stats,
         "hourly": q_hourly,
-        "sliding_2h": q_sliding_2h,
         "session_window": q_session_window,
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
@@ -846,27 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_components": q_dedup_components,
-        # kernel folds / Arrow UDF ops — rows-only checks.
-        # NOTE on ordering: the round-2 driver checked exactly the first 50
-        # keys of this dict, so the 42 hash-oracled queries above sit first,
-        # then the 8 unique rows-only entries (reference-parity kernels,
-        # prequential accuracy, multimodal) fill the window to exactly 50.
-        # The tail absorbs the truncation: the r03 additions there
-        # (tfidf_top / hash_split / chunk_tokens / stratified_sample /
-        # pii_mask) carry full oracle_sql entries proven by pytest at
-        # sf0.001 AND sf0.01 (PROGRESS.jsonl), ivf_ann_trained's recall is
-        # asserted in test_operators, and the rest are twins of checked
-        # entries (fsds_fast_weights / fscr_kernel / nogueira_kernel /
-        # video_frames / prequential_stream).
-        "resized_features": q_resized_features,
-        "multimodal_features": q_multimodal_features,
-        "ofs_weights": _fold_query("ofs", {}),
-        "fsds_weights": _fold_query("fsds", {"k": 2, "ell": 0}),
-        "efs_weights": _fold_query("efs", {}),
-        "mcnn_weights": _fold_query("mcnn", {}),
-        "cancelout_weights": _fold_query("cancelout", {}),
-        "prequential_ofs": q_prequential_ofs,
-        # ---- driver-window boundary (50 keys above) ----
+        # r03-proven oracled additions, rotated into the window this round
         "dedup_pipeline": q_dedup_pipeline,
         "tfidf_top": q_tfidf_top,
         "hash_split": q_hash_split,
@@ -874,6 +899,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pii_mask": q_pii_mask,
         "cube_events": q_cube_events,
+        # kernel folds / Arrow UDF ops — rows-only checks. The window holds
+        # 47 oracled queries + 3 rows-only (the §2 kernel anchors ofs_weights
+        # and prequential_ofs, plus the new bm25_top) = exactly 50 keys; the
+        # tail holds only entries already driver-proven in r02+r03 or twins
+        # of checked entries — see ROTATION POLICY at the top of this dict.
+        "ofs_weights": _fold_query("ofs", {}),
+        "prequential_ofs": q_prequential_ofs,
+        "bm25_top": q_bm25_top,  # rows-only: ln-idf is transcendental
+        # ---- driver-window boundary (50 keys above) ----
+        "sliding_2h": q_sliding_2h,
+        "asof_join_broadcast": q_asof_join_broadcast,
+        "resized_features": q_resized_features,
+        "multimodal_features": q_multimodal_features,
+        "fsds_weights": _fold_query("fsds", {"k": 2, "ell": 0}),
+        "efs_weights": _fold_query("efs", {}),
+        "mcnn_weights": _fold_query("mcnn", {}),
+        "cancelout_weights": _fold_query("cancelout", {}),
         "ivf_ann_trained": q_ivf_ann_trained,  # rows-only: k-means codebook
         "prequential_stream": q_prequential_stream,
         "fscr_kernel": q_fscr_kernel,
@@ -881,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nogueira_kernel": q_nogueira_kernel,
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
+        "simhash_banded_near": q_simhash_banded_near,  # oracled; rotates into the r05 window
     }
 
 
@@ -1084,7 +1127,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(event_type) AS INT) AS g_type,
                    CAST(GROUPING(dow) AS INT) AS g_dow,
                    COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS v_sum
+                   ROUND(SUM(value), 2) AS v_sum
             FROM j GROUP BY CUBE (event_type, dow)
         """,
         "event_pivot": """
@@ -1347,6 +1390,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.id_a, s.doc_id AS id_b,
                    CAST(bit_count(xor(p.sig_a, s.simhash)) AS INT) AS hamming
             FROM probes p JOIN sig s ON p.probe = s.simhash AND p.id_a < s.doc_id
+        """,
+        "simhash_banded_near": f"""
+            WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+            v AS (SELECT doc_id,
+                         {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16))}
+                  FROM h GROUP BY doc_id),
+            sig AS (SELECT doc_id,
+                   CAST({" + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16))} AS BIGINT) AS simhash
+            FROM v),
+            bands AS (SELECT doc_id, simhash, band, (simhash >> (band * 4)) & 15 AS bb
+                      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band)),
+            cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                            bit_count(xor(a.simhash, b.simhash)) AS hd
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bb = b.bb AND a.doc_id < b.doc_id)
+            SELECT DISTINCT id_a, id_b, CAST(hd AS INT) AS hamming
+            FROM cand WHERE hd <= 3
         """,
         # FP-ORDER CAVEAT (ADVICE r02, accepted residual risk): this oracle
         # (and embedding_near_dups below) computes the hyperplane projection

@@ -29,7 +29,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,6 +82,12 @@ class CheckpointedFold:
     n_epochs: int = 8
     entity_col: str = "conv_id"
     seed: int = 42
+    # Introspection hook set by run(): the fold DataFrame of the LAST run()
+    # call, valid only for PLAN-SHAPE inspection (explain / plan tests) —
+    # run()'s finally block unpersists it, so it is no longer cached and
+    # must not be re-collected as if it were (ADVICE r03). None before the
+    # first run() call.
+    _last_fold_plan: DataFrame | None = field(default=None, repr=False, compare=False)
 
     # --- ledger -----------------------------------------------------------
     # Ledger I/O goes through the Hadoop FileSystem API (same layer Spark

@@ -130,6 +130,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
     seed: int = 42,
+    inertia_log: list[float] | None = None,
 ) -> DataFrame:
     """Train an IVF codebook with Lloyd iterations expressed as DataFrame
     jobs — pass the result to :func:`ivf_cosine_topk(centroids=...)`.
@@ -151,7 +152,16 @@ def kmeans_centroids(
     cached so each iteration is one in-memory pass. The codebook itself is
     tiny (n_cells × dims) by definition; it is materialized driver-side
     between iterations to keep every iteration's plan flat (no n_iters-deep
-    recursive plan / repeated source scans)."""
+    recursive plan / repeated source scans).
+
+    ``inertia_log``: pass a list and each iteration appends its spherical
+    inertia Σ(1 − cos(x, assigned centroid)) — ONE extra agg over the
+    (persisted) assignment of that iteration, measured against the
+    centroids ENTERING the iteration. Spherical-k-means monotonicity
+    applies (cosine ranking against the plain mean equals ranking against
+    the normalized mean), so the log must be non-increasing — a cheap
+    training-health check that also catches a degenerate codebook hiding
+    behind the empty-cell/keep-old path (asserted in tests)."""
     train = corpus.select(F.col(id_col), F.col(vec_col)).where(F.col(vec_col).isNotNull())
     if sample_fraction is not None:
         train = train.sample(fraction=sample_fraction, seed=seed)
@@ -171,13 +181,20 @@ def kmeans_centroids(
         for _ in range(n_iters):
             cdf = spark.createDataFrame(cent_rows, "cell int, __cv array<double>")
             cent_row = cdf.agg(F.collect_list(F.struct("cell", "__cv")).alias("__cells"))
+            # bind the ranked array to a column before reading two fields of
+            # element 1 — Catalyst re-evaluates an expression tree once per
+            # reference (see text.shingles_from_tokens)
             assigned = (
                 train.crossJoin(F.broadcast(cent_row))
+                .withColumn("__best", F.try_element_at(_ranked_cells(vec_col), F.lit(1)))
                 .select(
                     F.col(vec_col),
-                    (-F.try_element_at(_ranked_cells(vec_col), F.lit(1))["negcell"]).alias("cell"),
+                    (-F.col("__best")["negcell"]).alias("cell"),
+                    F.col("__best")["sim"].alias("__sim"),
                 )
             )
+            if inertia_log is not None:
+                assigned = assigned.persist()
             means = (
                 assigned.select("cell", F.posexplode(F.col(vec_col).cast("array<double>")))
                 .groupBy("cell", "pos")
@@ -190,6 +207,11 @@ def kmeans_centroids(
                 )
             )
             new = {int(r["cell"]): [float(x) for x in r["__cv"]] for r in means.collect()}
+            if inertia_log is not None:
+                inertia_log.append(
+                    float(assigned.agg(F.sum(1.0 - F.col("__sim"))).first()[0])
+                )
+                assigned.unpersist()
             cent_rows = [(c, new.get(c, v)) for c, v in cent_rows]  # empty cell → keep old
     finally:
         train.unpersist()

@@ -147,6 +147,7 @@ def minhash_lsh_candidates(
     band_r: int = 1,
     max_bucket_size: int | None = None,
     hash_fn: str = "md5",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate duplicate pairs (id_a < id_b) sharing ≥ 1 band signature,
     with the count of agreeing bands.
@@ -155,8 +156,17 @@ def minhash_lsh_candidates(
     pairing — a bucket of d docs contributes d²/2 pairs, so one degenerate
     bucket can dominate the whole job; capping trades recall on
     ultra-common content (usually exact dups better caught by
-    :func:`exact_dedup`) for a hard bound on the join."""
-    sig = minhash_signatures(df, text_col, id_col, n_bands, k, band_r, hash_fn)
+    :func:`exact_dedup`) for a hard bound on the join.
+
+    ``signatures``: a precomputed :func:`minhash_signatures` output to reuse
+    (persist it when the same signatures also feed
+    :func:`minhash_bucket_audit` — the shingle+minhash pass dominates the
+    dedup cost and should run once); params must match the signature job's."""
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, n_bands, k, band_r, hash_fn)
+    )
     if max_bucket_size is not None:
         ok = (
             sig.groupBy("band", "sig")
@@ -315,13 +325,23 @@ def near_dedup(
     max_bucket_size: int | None = None,
     hash_fn: str = "md5",
     max_iter: int = 25,
-) -> DataFrame:
+    with_audit: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """The composed end-to-end near-dedup pass: MinHash-LSH candidate pairs
     → band-agreement filter (``min_shared_bands`` raises the effective
     Jaccard threshold along the LSH S-curve) → connected components →
     one canonical document per cluster. Output: (id, component,
     is_canonical) for EVERY input document (non-duplicates are their own
     singleton components).
+
+    ``with_audit=True`` returns ``(dedup_df, audit_df)`` where the audit is
+    the one-row :func:`minhash_bucket_audit` for this run's
+    ``max_bucket_size`` cap — the pipeline reporting its own recall loss.
+    The audit REUSES this pass's signature DataFrame (persisted here so the
+    dominant shingle+minhash computation runs once and both consumers read
+    the materialized rows — the composition the audit docstring prescribes
+    at 100 TB); the caller should trigger both outputs before the persisted
+    signatures are evicted.
 
     This is the pipeline a 100 TB corpus actually runs: every stage is
     bucketed/bounded (never all-pairs), and the final union step is the
@@ -330,10 +350,19 @@ def near_dedup(
     keepers."""
     from pystreamfs_spark.operators.graph import dedup_components
 
+    sig = minhash_signatures(df, text_col, id_col, n_bands, k, band_r, hash_fn)
+    if with_audit:
+        sig = sig.persist()
     pairs = minhash_lsh_candidates(
-        df, text_col, id_col, n_bands, k, band_r, max_bucket_size, hash_fn
+        df, text_col, id_col, n_bands, k, band_r, max_bucket_size, hash_fn, signatures=sig
     ).where(F.col("n_shared_bands") >= min_shared_bands)
-    return dedup_components(df, pairs, id_col=id_col, max_iter=max_iter)
+    out = dedup_components(df, pairs, id_col=id_col, max_iter=max_iter)
+    if with_audit:
+        audit = minhash_bucket_audit(
+            df, text_col, id_col, n_bands, k, band_r, max_bucket_size, hash_fn, signatures=sig
+        )
+        return out, audit
+    return out
 
 
 def simhash(
@@ -423,4 +452,82 @@ def simhash_near_duplicates(
             "id_b",
             F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("probe"))).cast("int").alias("hamming"),
         )
+    )
+
+
+def simhash_banded_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+    d: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Pairs at Hamming distance ≤ d for d BEYOND the bit-flip probe range —
+    the banded-signature scale path :func:`simhash_near_duplicates`'s
+    docstring prescribes for d > 2 (where probe fan-out Σ C(n_bits,i)
+    explodes: 697 probes/doc at n_bits=16, d=3).
+
+    Pigeonhole: split the signature into ``n_bands`` (default d+1)
+    contiguous bit bands — a pair differing in ≤ d bits must agree EXACTLY
+    on ≥ 1 band. Candidates share a (band, band-bits) bucket (n_bands rows
+    per doc — constant fan-out vs combinatorial), then the full-signature
+    Hamming check keeps true ≤ d pairs. Each surviving pair is emitted
+    exactly ONCE with no dedup shuffle: a pair colliding on several bands is
+    kept only at its FIRST agreeing band, decided from the xor of the two
+    signatures already on the joined row.
+
+    Output: (id_a, id_b, hamming). All integer/bit built-ins — portable, so
+    the driver query has an exact DuckDB oracle."""
+    n_bands = n_bands if n_bands is not None else d + 1
+    if n_bands <= d:
+        raise ValueError(
+            f"n_bands={n_bands} must exceed d={d} (pigeonhole needs one band "
+            "with zero differing bits)"
+        )
+    if n_bits % n_bands:
+        raise ValueError(f"n_bits={n_bits} must divide evenly into n_bands={n_bands}")
+    w = n_bits // n_bands
+    mask = (1 << w) - 1
+    sig = simhash(df, text_col, id_col, n_bits)
+
+    def band_bits(col, b):
+        return F.shiftright(col, b * w).bitwiseAND(F.lit(mask))
+
+    a = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("__sig_a"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_bits(F.col("simhash"), b).alias("bb"))
+                for b in range(n_bands)
+            ])
+        ).alias("z"),
+    ).select("id_a", "__sig_a", F.col("z.band").alias("band"), F.col("z.bb").alias("bb"))
+    b_side = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("__sig_b"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_bits(F.col("simhash"), b).alias("bb"))
+                for b in range(n_bands)
+            ])
+        ).alias("z"),
+    ).select("id_b", "__sig_b", F.col("z.band").alias("band"), F.col("z.bb").alias("bb"))
+    joined = (
+        a.join(b_side, ["band", "bb"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("__xor", F.col("__sig_a").bitwiseXOR(F.col("__sig_b")))
+    )
+    # first agreeing band = min b with band_b(xor) == 0; earlier bands must
+    # all differ for this row to be THE emission of its pair
+    first_agree = F.lit(True)
+    for j in range(n_bands):
+        first_agree = first_agree & (
+            F.when(F.lit(j) < F.col("band"), band_bits(F.col("__xor"), j) != 0).otherwise(F.lit(True))
+        )
+    return (
+        joined.where(F.bit_count(F.col("__xor")) <= d)
+        .where(first_agree)
+        .select("id_a", "id_b", F.bit_count(F.col("__xor")).cast("int").alias("hamming"))
     )

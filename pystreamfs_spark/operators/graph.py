@@ -48,10 +48,18 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    strict: bool = False,
 ) -> DataFrame:
     """Label every node of the undirected graph with the MIN node id of its
     connected component. Input: an edge list (directed or not, dups fine).
     Output: (id, component) for every node that appears in an edge.
+
+    If the fixpoint is not reached within ``max_iter`` rounds the labels are
+    NOT final components (downstream dedup would keep several "canonical"
+    docs per true cluster) — a ``RuntimeWarning`` is emitted, or
+    ``RuntimeError`` raised with ``strict=True``. Unreachable at the default
+    (pointer jumping covers diameter ~2^25 in 25 rounds); only a caller
+    passing a small ``max_iter`` can hit it (ADVICE r03).
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
@@ -63,6 +71,7 @@ def connected_components(
     ).localCheckpoint(eager=False)
 
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         # 1) neighbor-min: messages carry each node's label to its neighbors
         msgs = e.join(labels, e["u"] == labels["id"]).select(F.col("v").alias("id"), "label")
@@ -83,11 +92,25 @@ def connected_components(
         cur_sum = new.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).head()[0]
         labels = new
         if cur_sum is None:  # empty edge list → nothing to propagate
+            converged = True
             break
         if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     e.unpersist()
+    if not converged:
+        msg = (
+            f"connected_components: fixpoint not observed within "
+            f"max_iter={max_iter} rounds (label sum was still decreasing) - "
+            "returned labels may not be final components. Raise max_iter "
+            "(each round covers ~2x the diameter via pointer jumping)."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -25,10 +25,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def hash_bucket(key: Column, n_buckets: int = 10_000, salt: str = "") -> Column:
-    """Deterministic uniform bucket in [0, n_buckets) from a key column."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10)
-    return h.cast("long") % n_buckets
+def hash_bucket(
+    key: Column, n_buckets: int = 10_000, salt: str = "", on_null: str = "error"
+) -> Column:
+    """Deterministic uniform bucket in [0, n_buckets) from a key column.
+
+    NULL keys raise an ANSI-style contract error at execution time
+    (default). A NULL would otherwise hash to a NULL bucket, which
+    *silently* falls through every WHEN into the last-named split in
+    :func:`hash_split` but vanishes entirely under the ``<`` filter in
+    :func:`stratified_hash_sample` — two different corruptions of the
+    held-out set (ADVICE r03). Pass ``on_null="keep"`` to propagate the
+    NULL bucket instead and handle it yourself."""
+    if on_null not in ("error", "keep"):
+        raise ValueError("on_null must be 'error' or 'keep'")
+    ks = key.cast("string")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), ks)), 1, 8), 16, 10)
+    b = h.cast("long") % n_buckets
+    if on_null == "error":
+        b = F.when(
+            ks.isNull(),
+            F.raise_error(
+                F.lit(
+                    "hash_bucket: NULL key - a NULL cannot be deterministically "
+                    "bucketed; filter or coalesce the key column first "
+                    "(or pass on_null='keep')"
+                )
+            ).cast("long"),
+        ).otherwise(b)
+    return b
 
 
 def hash_split(
@@ -44,7 +69,9 @@ def hash_split(
     ``fractions`` maps split name -> fraction, in priority order; they are
     quantized to whole buckets (with ``n_buckets=10_000`` the resolution is
     0.01%). The last split absorbs rounding so the buckets always
-    partition. Map-only: no shuffle, no action, no RNG.
+    partition. Map-only: no shuffle, no action, no RNG. NULL keys raise at
+    execution time (see :func:`hash_bucket`) — they cannot be split
+    deterministically.
     """
     if fractions is None:
         fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -80,7 +107,9 @@ def stratified_hash_sample(
     bucket falls under its stratum's quantized rate. The workhorse of
     corpus mixing (e.g. keep 100% of books, 10% of web, 1% of logs) —
     map-only, reproducible, and stable under corpus growth, unlike
-    ``sampleBy``. Unlisted strata get ``default_rate``.
+    ``sampleBy``. Unlisted strata get ``default_rate``. NULL keys raise at
+    execution time (see :func:`hash_bucket`) — they cannot be sampled
+    deterministically.
     """
     if any(not (0.0 <= r <= 1.0) for r in rates.values()):
         raise ValueError("rates must be in [0, 1]")

@@ -52,8 +52,15 @@ STREAM_WEIGHTS_SCHEMA = StructType(
     ]
 )
 
+# Bump on ANY change to _STATE_SCHEMA or to the layout of its pickled
+# blobs. v3 = r04 layout (version field + the r02 sel_counts/n_late_acc
+# additions). A resumed checkpoint whose stored version differs fails fast
+# with a clear error instead of silently misaligning unpickled state.
+_STATE_VERSION = 3
+
 _STATE_SCHEMA = StructType(
     [
+        StructField("state_version", LongType()),
         StructField("kernel_state", BinaryType()),
         StructField("carry_x", BinaryType()),
         StructField("carry_y", BinaryType()),
@@ -106,11 +113,13 @@ def stream_fold(
     batch ``nogueira_stability`` computed over windows 0..t.
 
     CHECKPOINT COMPATIBILITY: ``applyInPandasWithState`` state schemas are
-    not evolvable — any change to ``_STATE_SCHEMA`` (fields were added in
-    r02: ``sel_counts``, ``n_late_acc``) invalidates pre-existing streaming
-    checkpoints. Resuming an old checkpoint after a schema change fails or
-    misaligns the unpickled state tuple; start the query with a NEW
-    checkpointLocation whenever this engine version changes _STATE_SCHEMA."""
+    not evolvable — any change to ``_STATE_SCHEMA`` or its pickled-blob
+    layout invalidates pre-existing streaming checkpoints. The state tuple
+    therefore carries ``_STATE_VERSION`` as its first field and a resumed
+    checkpoint with a different stored version FAILS FAST with a clear
+    error instead of silently misaligning unpickled state. Start the query
+    with a NEW checkpointLocation whenever the engine bumps
+    ``_STATE_VERSION``."""
     if kernel not in KERNELS:
         raise ValueError(f"unknown kernel {kernel!r}; available: {sorted(KERNELS)}")
     kk = dict(kernel_kwargs or {})
@@ -120,7 +129,16 @@ def stream_fold(
     ) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
         if state.exists:
-            ks_b, cx_b, cy_b, ps_b, sc_b, next_turn, wid, n_late_acc = state.get
+            stored = state.get
+            if stored[0] != _STATE_VERSION:
+                raise ValueError(
+                    f"stream_fold checkpoint state version mismatch: stored "
+                    f"v{stored[0]}, engine expects v{_STATE_VERSION}. "
+                    "applyInPandasWithState state is not schema-evolvable - "
+                    "restart the query with a NEW checkpointLocation after "
+                    "upgrading the engine."
+                )
+            _, ks_b, cx_b, cy_b, ps_b, sc_b, next_turn, wid, n_late_acc = stored
             kstate = pickle.loads(ks_b)
             carry_X = pickle.loads(cx_b)
             carry_y = pickle.loads(cy_b)
@@ -186,6 +204,7 @@ def stream_fold(
 
         state.update(
             (
+                _STATE_VERSION,
                 pickle.dumps(kstate),
                 pickle.dumps(carry_X),
                 pickle.dumps(carry_y),

@@ -249,6 +249,33 @@ def test_simhash_near_d2_matches_bruteforce(spark, sf_dir):
     assert got == brute
 
 
+def test_simhash_banded_near_matches_bruteforce(spark, sf_dir):
+    """VERDICT r03 #8: the banded split must find exactly the brute-force
+    Hamming ≤ 3 pairs (pigeonhole completeness at n_bands=d+1), each emitted
+    once — the d>2 regime where probe expansion would need 697 probes/doc."""
+    from pystreamfs_spark.operators.dedup import simhash, simhash_banded_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120).cache()
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, n_bits=16).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got_rows = simhash_banded_near_duplicates(docs, n_bits=16, d=3).collect()
+    got = {(r.id_a, r.id_b, r.hamming) for r in got_rows}
+    assert len(got_rows) == len(got)  # exactly-once despite multi-band collisions
+    assert got == brute
+
+    # param validation
+    with pytest.raises(ValueError, match="must exceed d"):
+        simhash_banded_near_duplicates(docs, n_bits=16, d=3, n_bands=3)
+    with pytest.raises(ValueError, match="divide evenly"):
+        simhash_banded_near_duplicates(docs, n_bits=16, d=4, n_bands=5)
+
+
 def _clustered_embeddings(spark, n_clusters=8, per_cluster=40, dims=16, seed=11):
     """Deterministic well-separated clusters: unit-ish centers on distinct
     axes pairs + small noise — k-means must recover them."""
@@ -289,6 +316,25 @@ def test_ivf_trained_beats_surrogate(spark):
     # trained codebook must be near-perfect; the surrogate is arbitrary
     assert recall_t > recall_s, f"trained {recall_t} <= surrogate {recall_s}"
     assert recall_t >= 0.9, recall_t
+
+
+def test_kmeans_inertia_monotone_nonincreasing(spark):
+    """VERDICT r03 #6: per-iteration spherical inertia Σ(1−cos) must be
+    non-increasing (spherical-k-means monotonicity) and strictly improve
+    from the md5-surrogate start on clustered data — guarding against a
+    degenerate codebook hiding behind the empty-cell/keep-old path.
+    (Recall improving with training is asserted separately in
+    test_ivf_trained_beats_surrogate: n_iters>0 beats the n_iters=0
+    surrogate.)"""
+    from pystreamfs_spark.operators.ann import kmeans_centroids
+
+    emb = _clustered_embeddings(spark).cache()
+    log = []
+    kmeans_centroids(emb, n_cells=8, n_iters=4, inertia_log=log)
+    assert len(log) == 4
+    for a, b in zip(log, log[1:]):
+        assert b <= a + 1e-9, log
+    assert log[-1] < log[0], log  # training actually moved the codebook
 
 
 def test_kmeans_centroids_shape_and_determinism(spark):
@@ -333,6 +379,34 @@ def test_dedup_audit_counts_on_degenerate_bucket(spark):
     assert mh0.n_buckets == mh.n_buckets
 
 
+def test_near_dedup_with_audit_reports_cap_loss(spark):
+    """VERDICT r03 #4: the composed pipeline exposes its own recall loss.
+    With max_bucket_size=3 the 6 identical docs' buckets are dropped — the
+    dedup output degrades to singletons and the shared-signature audit row
+    must report exactly those dropped buckets/pairs."""
+    from pystreamfs_spark.operators.dedup import near_dedup
+
+    rows = [(i, "the same exact degenerate text content") for i in range(6)]
+    rows += [(10, "completely different words entirely here"), (11, "another unique document text")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    out, audit = near_dedup(
+        d, n_bands=4, min_shared_bands=2, max_bucket_size=3, with_audit=True
+    )
+    a = audit.first()
+    assert a.n_buckets_dropped == 4
+    assert a.est_pairs_dropped == 4 * (6 * 5 // 2)
+    got = {r.doc_id: (r.component, r.is_canonical) for r in out.collect()}
+    assert all(canon for _, canon in got.values())  # cap killed every pair
+
+    # uncapped control: the same call without the cap clusters the 6 dups
+    out0, audit0 = near_dedup(d, n_bands=4, min_shared_bands=2, with_audit=True)
+    got0 = {r.doc_id: (r.component, r.is_canonical) for r in out0.collect()}
+    assert sum(1 for _, canon in got0.values() if canon) == 3
+    assert {got0[i][0] for i in range(6)} == {0}
+    assert audit0.first().n_buckets_dropped == 0
+
+
 def test_connected_components_hand_graph(spark):
     """Two components (one via a chain, exercising pointer jumping) plus the
     min-label invariant; singletons appear via dedup_components only."""
@@ -351,6 +425,29 @@ def test_connected_components_hand_graph(spark):
     assert sum(1 for c, canon in out.values() if canon) == 3  # one keeper per cluster
 
 
+def test_connected_components_max_iter_exhaustion_warns_or_raises(spark):
+    """ADVICE r03: a too-small max_iter must not return wrong clusters
+    silently — RuntimeWarning by default, RuntimeError with strict=True."""
+    import warnings
+
+    from pystreamfs_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(64)], "id_a bigint, id_b bigint")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(e, max_iter=2).collect()
+    assert any("fixpoint not observed" in str(w.message) for w in caught)
+
+    with pytest.raises(RuntimeError, match="fixpoint not observed"):
+        connected_components(e, max_iter=2, strict=True)
+
+    # a converged run must stay silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(e, max_iter=12).collect()
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
+
+
 def test_connected_components_long_chain_converges(spark):
     """A 64-node path graph converges within the O(log d) round budget —
     neighbor-min alone would need ~64 rounds; pointer jumping must not."""
@@ -361,6 +458,29 @@ def test_connected_components_long_chain_converges(spark):
     got = connected_components(e, max_iter=12).collect()
     assert len(got) == n + 1
     assert all(r.component == 0 for r in got)
+
+
+def test_hash_ops_null_key_raises(spark):
+    """ADVICE r03: a NULL key must not silently land in the last split
+    (hash_split) or vanish (stratified_hash_sample) — both raise; the
+    explicit opt-out propagates the NULL bucket."""
+    from pystreamfs_spark.operators.sampling import (
+        hash_bucket,
+        hash_split,
+        stratified_hash_sample,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id bigint, event_type string"
+    )
+    with pytest.raises(Exception, match="NULL key"):
+        hash_split(d, key_col="doc_id").collect()
+    with pytest.raises(Exception, match="NULL key"):
+        stratified_hash_sample(
+            d, key_col="doc_id", stratum_col="event_type", rates={"a": 1.0}
+        ).collect()
+    kept = d.select(hash_bucket(F.col("doc_id"), on_null="keep").alias("b")).collect()
+    assert sorted([r.b is None for r in kept]) == [False, True]
 
 
 def test_hash_split_deterministic_partition(spark):

@@ -127,6 +127,41 @@ def test_stream_fold_accumulates_late_counts(spark, tmp_path):
     assert late == {0: 0, 1: 5}
 
 
+def test_stream_fold_state_version_mismatch_fails_fast(spark, featurized, tmp_path, monkeypatch):
+    """Resuming a checkpoint written by a different _STATE_VERSION must raise
+    the clear versioned error, not silently misalign unpickled state
+    (ADVICE r02 #3 / VERDICT r03 next #3)."""
+    from pystreamfs_spark.streaming import adapter
+
+    src = str(tmp_path / "ver_src")
+    ckpt = str(tmp_path / "ver_ckpt")
+    sink = str(tmp_path / "ver_sink")
+
+    def run_resumable():
+        # memory sinks can't recover a checkpoint; a parquet sink can
+        stream = spark.readStream.schema(FEAT_SCHEMA).parquet(src)
+        out = stream_fold(stream, kernel="ofs", batch_size=10, num_features=5)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    base = featurized.select("conv_id", "turn_idx", "features", "label")
+    base.where(F.col("turn_idx") < 25).coalesce(1).write.mode("append").parquet(src)
+    run_resumable()  # writes v-current state into the checkpoint
+
+    # engine "upgrade": the version bumps, the old checkpoint must be refused
+    monkeypatch.setattr(adapter, "_STATE_VERSION", adapter._STATE_VERSION + 1)
+    time.sleep(1.2)
+    base.where(F.col("turn_idx") >= 25).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="state version mismatch"):
+        run_resumable()
+
+
 def test_stream_session_stats_runs(spark, sf_dir, tmp_path):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     src = str(tmp_path / "ev")
