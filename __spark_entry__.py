@@ -450,6 +450,25 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2, max_df=100)
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (top/dup token and 3-gram
+    fractions) — ratios of exact integer counts, IEEE-identical unrounded."""
+    from pystreamfs_spark.operators.quality import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination: 5-gram overlap vs the deterministic
+    doc_id % 97 == 0 slice standing in for an eval set (which, being a
+    subset of the corpus, must flag itself — planted leakage)."""
+    from pystreamfs_spark.operators.quality import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(d, bench, n=5, min_overlap=1)
+
+
 def q_simhash(spark, sf_dir):
     from pystreamfs_spark.operators.dedup import simhash
 
@@ -924,6 +943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "simhash_banded_near": q_simhash_banded_near,  # oracled; rotates into the r05 window
+        "repetition_signals": q_repetition,  # oracled; rotates into the r05 window
+        "decontaminate": q_decontam,  # oracled; rotates into the r05 window
     }
 
 
@@ -1408,6 +1429,47 @@ def oracle_sql() -> dict[str, str]:
                        ON a.band = b.band AND a.bb = b.bb AND a.doc_id < b.doc_id)
             SELECT DISTINCT id_a, id_b, CAST(hd AS INT) AS hamming
             FROM cand WHERE hd <= 3
+        """,
+        "repetition_signals": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            uni AS (SELECT doc_id, unnest(t) AS gram FROM toks),
+            uc AS (SELECT doc_id, gram, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+            us AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist, MAX(c) AS top
+                   FROM uc GROUP BY 1),
+            g0 AS (SELECT doc_id,
+                          CASE WHEN len(t) >= 3
+                               THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+                               ELSE [] END AS grams
+                   FROM toks),
+            gu AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+            gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM gu GROUP BY 1, 2),
+            gs AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist, MAX(c) AS top
+                   FROM gc GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(us.total, 0) AS BIGINT) AS n_tokens,
+                   COALESCE(CAST(us.top AS DOUBLE) / CAST(us.total AS DOUBLE), 0.0) AS top_token_frac,
+                   COALESCE(CAST(us.total - us.dist AS DOUBLE) / CAST(us.total AS DOUBLE), 0.0) AS dup_token_frac,
+                   COALESCE(CAST(gs.top AS DOUBLE) / CAST(gs.total AS DOUBLE), 0.0) AS top_kgram_frac,
+                   COALESCE(CAST(gs.total - gs.dist AS DOUBLE) / CAST(gs.total AS DOUBLE), 0.0) AS dup_kgram_frac
+            FROM documents d
+            LEFT JOIN us ON us.doc_id = d.doc_id
+            LEFT JOIN gs ON gs.doc_id = d.doc_id
+        """,
+        "decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            g0 AS (SELECT doc_id,
+                          CASE WHEN len(t) >= 5
+                               THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                                     for i in range(1, len(t) - 3)]
+                               ELSE [] END AS grams
+                   FROM toks),
+            dg AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g0),
+            bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+            ov AS (SELECT doc_id, COUNT(*) AS n_overlap FROM dg JOIN bg USING (gram) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   COALESCE(ov.n_overlap, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
         """,
         # FP-ORDER CAVEAT (ADVICE r02, accepted residual risk): this oracle
         # (and embedding_near_dups below) computes the hyperplane projection

@@ -99,13 +99,22 @@ def ceiling_level(cpus: int, seconds: float = 6.0) -> float:
 # ---------------------------------------------------------------------------
 
 def run_level(cpus: int, n_convs: int) -> dict:
+    # Task granularity is tuned PER LEVEL (r04, VERDICT r03 #5): the
+    # ~10 ms/task driver-serial scheduling overhead (BASELINE.md) is
+    # invariant across levels, so a fixed 64-task layout taxes the wide
+    # level relatively 4× harder. partitions = cores × SCALING_PARTITIONS_
+    # PER_CORE (default 1 → one wave of maximal tasks per level) is the
+    # per-level tuning a real cluster operator applies — each level runs
+    # the layout that minimizes ITS OWN wall-clock. Explicit
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS still overrides both levels.
+    ppc = int(os.environ.get("SCALING_PARTITIONS_PER_CORE", "1"))
     env = dict(os.environ)
     env.update(
         {
             "SPARK_GRAFT_CPUS": str(cpus),
             "BENCH_ONLY": os.environ.get("SCALING_JOB", "fold_ofs"),
             "BENCH_REPEAT": os.environ.get("BENCH_REPEAT", "3"),
-            "SPARK_GRAFT_SHUFFLE_PARTITIONS": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"),
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus * ppc)),
             "BENCH_NCONVS": str(n_convs),
             "SPARK_GRAFT_SF_DIR": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
             "SPARK_GRAFT_ARROW_BATCH": os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"),

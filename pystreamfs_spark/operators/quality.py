@@ -1,0 +1,137 @@
+"""Corpus quality filters a large-scale training-data pipeline runs before
+training: n-gram repetition signals (the Gopher/MassiveText rule family,
+Rae et al. 2021 §A1.1) and benchmark decontamination (n-gram overlap against
+an eval set, GPT-3 appendix C / PaLM style).
+
+Both are pure DataFrame plans over the existing shingle machinery
+(functions.text.shingles_from_tokens) — no Python in the hot path, exact
+integer-ratio outputs so every operator has a bit-identical DuckDB oracle.
+
+Scale notes (100 TB):
+- repetition_signals: two explode→map-side-combined aggs (unigrams,
+  k-grams), shuffled volume O(distinct (doc, gram)) — never O(occurrences)
+  — joined per doc; the join keys are doc ids (uniform, AQE-friendly).
+- decontaminate: the benchmark side of the join is an eval set (thousands
+  of docs) whose DISTINCT n-grams are corpus-independent and tiny →
+  broadcast; the corpus side is one explode + one broadcast-hash join +
+  one per-doc agg. The corpus is never shuffled on gram keys, so one
+  stop-gram cannot skew the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pystreamfs_spark.functions.text import shingles_from_tokens, tokens
+
+
+def _gram_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gram) with one row per OCCURRENCE (not distinct — repetition
+    counting needs multiplicity)."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    if n == 1:
+        gram = F.col("__t")
+    else:
+        # shingles_from_tokens emits one whole-text shingle for short docs
+        # (dedup semantics); here a doc with < n tokens has NO n-grams —
+        # empty array → explode drops it → left joins see NULL → 0.0 frac
+        gram = F.when(
+            F.size(F.col("__t")) >= n, shingles_from_tokens(F.col("__t"), n)
+        ).otherwise(F.array().cast("array<string>"))
+    return toks.select(F.col(id_col), F.explode(gram).alias("gram"))
+
+
+def _repetition_agg(df: DataFrame, text_col: str, id_col: str, n: int, prefix: str) -> DataFrame:
+    """Per-doc gram stats: total, distinct, and max single-gram count."""
+    counts = (
+        _gram_table(df, text_col, id_col, n)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("c").alias(f"{prefix}_total"),
+        F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+        F.max("c").alias(f"{prefix}_top"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``top_token_frac``  — occurrences of the most frequent token / total
+      tokens (Gopher's "fraction of characters in the most common word",
+      token-count form);
+    - ``dup_token_frac``  — 1 − distinct/total tokens;
+    - ``top_kgram_frac``  — occurrences of the most frequent k-gram / total
+      k-grams (Gopher's top n-gram rule, default k=3);
+    - ``dup_kgram_frac``  — 1 − distinct/total k-grams (Gopher's duplicate
+      n-gram rule).
+
+    The standard MassiveText cut drops docs with top_2gram_frac > 0.2 or
+    dup_3gram_frac beyond threshold; this operator emits the raw fractions
+    so the caller picks thresholds per corpus. Docs shorter than k tokens
+    get 0.0 k-gram fractions (no k-grams exist). All outputs are ratios of
+    exact integer counts — IEEE-identical in any engine.
+    Output: (id, n_tokens, top_token_frac, dup_token_frac, top_kgram_frac,
+    dup_kgram_frac)."""
+    uni = _repetition_agg(df, text_col, id_col, 1, "u")
+    kg = _repetition_agg(df, text_col, id_col, k, "g")
+    base = df.select(F.col(id_col)).join(uni, id_col, "left").join(kg, id_col, "left")
+
+    def frac(num, den):
+        return F.coalesce(
+            num.cast("double") / F.nullif(den, F.lit(0)).cast("double"), F.lit(0.0)
+        )
+
+    return base.select(
+        F.col(id_col),
+        F.coalesce(F.col("u_total"), F.lit(0)).alias("n_tokens"),
+        frac(F.col("u_top"), F.col("u_total")).alias("top_token_frac"),
+        frac(F.col("u_total") - F.col("u_distinct"), F.col("u_total")).alias("dup_token_frac"),
+        frac(F.col("g_top"), F.col("g_total")).alias("top_kgram_frac"),
+        frac(F.col("g_total") - F.col("g_distinct"), F.col("g_total")).alias("dup_kgram_frac"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    ``min_overlap`` distinct n-grams with ANY benchmark document (the GPT-3
+    appendix-C recipe; n=8..13 word-grams approximate exact-substring
+    leakage at a fraction of the cost).
+
+    The benchmark's distinct gram set is broadcast (an eval set is tiny by
+    definition — if yours is corpus-sized, it is a corpus, use the dedup
+    operators); every corpus document gets its overlap count. Output:
+    (id, n_overlap, contaminated) for EVERY corpus document — the training
+    split is ``WHERE NOT contaminated``, the audit is the flagged rows."""
+    bench_grams = (
+        _gram_table(benchmark, text_col, id_col, n).select("gram").distinct()
+    )
+    doc_grams = _gram_table(corpus, text_col, id_col, n).distinct()
+    overlap = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(overlap, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )

@@ -276,6 +276,60 @@ def test_simhash_banded_near_matches_bruteforce(spark, sf_dir):
         simhash_banded_near_duplicates(docs, n_bits=16, d=4, n_bands=5)
 
 
+def test_repetition_signals_hand_counts(spark):
+    """Gopher repetition fractions on crafted docs with known counts."""
+    from pystreamfs_spark.operators.quality import repetition_signals
+
+    d = spark.createDataFrame(
+        [
+            (1, "a a a b"),        # top tok 3/4, dup (4-2)/4; 3-grams: aaa,aab
+            (2, "x y"),            # shorter than k → 0.0 k-gram fracs
+            (3, "w w w w w"),      # 3 identical 3-grams
+            (4, "p q r s"),        # all unique
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(d, k=3).collect()}
+    assert got[1].n_tokens == 4
+    assert got[1].top_token_frac == 0.75 and got[1].dup_token_frac == 0.5
+    assert got[1].top_kgram_frac == 0.5 and got[1].dup_kgram_frac == 0.0
+    assert got[2].top_kgram_frac == 0.0 and got[2].dup_kgram_frac == 0.0
+    assert got[3].top_token_frac == 1.0
+    assert got[3].top_kgram_frac == 1.0 and abs(got[3].dup_kgram_frac - 2 / 3) < 1e-15
+    assert got[4].dup_token_frac == 0.0 and got[4].top_token_frac == 0.25
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc containing a benchmark 5-gram is flagged; distinct-gram
+    overlap counting; short docs have no 5-grams and pass clean."""
+    from pystreamfs_spark.operators.quality import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words then alpha beta gamma delta epsilon tail"),  # shares 1 distinct 5-gram
+            (2, "alpha beta gamma delta epsilon zeta"),                   # identical → 2 shared 5-grams
+            (3, "totally different content with no overlap at all"),
+            (4, "tiny doc"),                                              # < 5 tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: (r.n_overlap, r.contaminated) for r in decontaminate(
+        corpus, bench, n=5, min_overlap=1
+    ).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (2, True)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+    # min_overlap raises the bar: doc 1's single shared gram now passes
+    strict = {r.doc_id: r.contaminated for r in decontaminate(
+        corpus, bench, n=5, min_overlap=2
+    ).collect()}
+    assert strict[1] is False and strict[2] is True
+
+
 def _clustered_embeddings(spark, n_clusters=8, per_cluster=40, dims=16, seed=11):
     """Deterministic well-separated clusters: unit-ish centers on distinct
     axes pairs + small noise — k-means must recover them."""

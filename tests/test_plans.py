@@ -158,3 +158,32 @@ def test_tfidf_exchange_budget_and_broadcast_count(spark, sf_dir):
     assert count_exchanges(scored) <= 5, text[:3000]
     topped = top_terms(d, n=3, idf="ratio")
     assert count_exchanges(topped) <= 6, explain_str(topped)[:3000]
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """decontaminate: the eval-set gram table must reach the corpus join as
+    a BROADCAST (the corpus is never shuffled on gram keys — a stop-gram
+    cannot skew the job); budget bounds the remaining doc_id-keyed
+    exchanges (corpus distinct, overlap agg, final left join)."""
+    from pystreamfs_spark.operators.quality import decontaminate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    out = decontaminate(d, bench, n=5)
+    text = explain_str(out)
+    assert "BroadcastHashJoin" in text, text[:3000]
+    assert count_exchanges(out) <= 5, text[:3000]
+
+
+def test_repetition_signals_exchange_budget(spark, sf_dir):
+    """repetition_signals: two explode→partial-agg branches (unigram +
+    k-gram), each 2 exchanges ((doc,gram) then doc), plus ≤2 for the per-doc
+    joins — shuffled volume is O(distinct (doc,gram)), never occurrences."""
+    from pystreamfs_spark.operators.quality import repetition_signals
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_signals(d, k=3)
+    text = explain_str(out)
+    assert count_exchanges(out) <= 7, text[:3000]
+    # partial aggregation (map-side combine) must appear on the gram aggs
+    assert "partial_count" in text or "HashAggregate" in text, text[:2000]
