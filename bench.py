@@ -188,6 +188,9 @@ def main() -> None:
         "token_estimate": lambda: entry_queries["token_estimate"](spark, sf_dir).count(),
         "doc_quality": lambda: entry_queries["doc_quality"](spark, sf_dir).count(),
         "multimodal_features": lambda: entry_queries["multimodal_features"](spark, sf_dir).count(),
+        # r04 quality ops over the sf documents corpus
+        "repetition_signals": lambda: entry_queries["repetition_signals"](spark, sf_dir).count(),
+        "decontaminate": lambda: entry_queries["decontaminate"](spark, sf_dir).count(),
     }
     if only is not None:
         suite = {k: v for k, v in suite.items() if k in only}
