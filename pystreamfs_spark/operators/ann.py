@@ -208,9 +208,11 @@ def kmeans_centroids(
             )
             new = {int(r["cell"]): [float(x) for x in r["__cv"]] for r in means.collect()}
             if inertia_log is not None:
-                inertia_log.append(
-                    float(assigned.agg(F.sum(1.0 - F.col("__sim"))).first()[0])
-                )
+                v = assigned.agg(F.sum(1.0 - F.col("__sim"))).first()[0]
+                # v is None only if assigned is empty, which the empty-train
+                # ValueError above already precludes; guard anyway so a
+                # future code path degrades to NaN instead of a TypeError
+                inertia_log.append(float(v) if v is not None else float("nan"))
                 assigned.unpersist()
             cent_rows = [(c, new.get(c, v)) for c, v in cent_rows]  # empty cell → keep old
     finally:

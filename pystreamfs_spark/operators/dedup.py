@@ -340,8 +340,10 @@ def near_dedup(
     The audit REUSES this pass's signature DataFrame (persisted here so the
     dominant shingle+minhash computation runs once and both consumers read
     the materialized rows — the composition the audit docstring prescribes
-    at 100 TB); the caller should trigger both outputs before the persisted
-    signatures are evicted.
+    at 100 TB). Both consumers are drained before return — the CC loop runs
+    its own jobs and the one-row audit is collected into a fresh local
+    DataFrame — so the persisted signatures are UNPERSISTED before this
+    function returns; nothing leaks into the application's storage memory.
 
     This is the pipeline a 100 TB corpus actually runs: every stage is
     bucketed/bounded (never all-pairs), and the final union step is the
@@ -353,16 +355,25 @@ def near_dedup(
     sig = minhash_signatures(df, text_col, id_col, n_bands, k, band_r, hash_fn)
     if with_audit:
         sig = sig.persist()
-    pairs = minhash_lsh_candidates(
-        df, text_col, id_col, n_bands, k, band_r, max_bucket_size, hash_fn, signatures=sig
-    ).where(F.col("n_shared_bands") >= min_shared_bands)
-    out = dedup_components(df, pairs, id_col=id_col, max_iter=max_iter)
-    if with_audit:
+    try:
+        pairs = minhash_lsh_candidates(
+            df, text_col, id_col, n_bands, k, band_r, max_bucket_size, hash_fn, signatures=sig
+        ).where(F.col("n_shared_bands") >= min_shared_bands)
+        # dedup_components' CC loop executes its jobs NOW (labels end up
+        # localCheckpointed), so `out` no longer reads sig after this call
+        out = dedup_components(df, pairs, id_col=id_col, max_iter=max_iter)
+        if not with_audit:
+            return out
         audit = minhash_bucket_audit(
             df, text_col, id_col, n_bands, k, band_r, max_bucket_size, hash_fn, signatures=sig
         )
+        # the audit is ONE row — materialize it into a local DataFrame so the
+        # persisted signatures have no remaining consumers
+        audit = df.sparkSession.createDataFrame(audit.collect(), audit.schema)
         return out, audit
-    return out
+    finally:
+        if with_audit:
+            sig.unpersist()
 
 
 def simhash(

@@ -70,13 +70,11 @@ def connected_components(
         e.select(F.col("u").alias("id")).distinct().select("id", F.col("id").alias("label"))
     ).localCheckpoint(eager=False)
 
-    prev_sum = None
-    converged = False
-    for _ in range(max_iter):
+    def _round(lbl):
         # 1) neighbor-min: messages carry each node's label to its neighbors
-        msgs = e.join(labels, e["u"] == labels["id"]).select(F.col("v").alias("id"), "label")
+        msgs = e.join(lbl, e["u"] == lbl["id"]).select(F.col("v").alias("id"), "label")
         new = (
-            msgs.union(labels)
+            msgs.union(lbl)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
@@ -89,8 +87,13 @@ def connected_components(
         new = new.localCheckpoint(eager=False)
         # convergence: labels are monotone non-increasing per node, so the
         # global sum is a strictly-decreasing potential until the fixpoint.
-        cur_sum = new.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).head()[0]
-        labels = new
+        s = new.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).head()[0]
+        return new, s
+
+    prev_sum = None
+    converged = False
+    for _ in range(max_iter):
+        labels, cur_sum = _round(labels)
         if cur_sum is None:  # empty edge list → nothing to propagate
             converged = True
             break
@@ -98,6 +101,16 @@ def connected_components(
             converged = True
             break
         prev_sum = cur_sum
+    if not converged and prev_sum is not None:
+        # The sum-equality check needs one CONFIRMING round beyond the
+        # fixpoint, so exhausting max_iter right as labels become final is
+        # not evidence of non-convergence. Probe once: an unchanged sum
+        # proves the labels were already final (monotone per-node labels +
+        # equal sum ⇒ no node moved); a decreased sum is a genuine
+        # non-convergence — keep the probe's (strictly better) labels and
+        # report.
+        labels, probe_sum = _round(labels)
+        converged = probe_sum == prev_sum
     e.unpersist()
     if not converged:
         msg = (

@@ -120,11 +120,16 @@ def decontaminate(
     bench_grams = (
         _gram_table(benchmark, text_col, id_col, n).select("gram").distinct()
     )
-    doc_grams = _gram_table(corpus, text_col, id_col, n).distinct()
+    # join occurrence-level grams against the broadcast FIRST (a map-side
+    # filter that discards ~the whole corpus), THEN count distinct matched
+    # grams per doc — only the rare overlapping rows are ever shuffled. A
+    # corpus-wide distinct before the join would shuffle every (doc, gram)
+    # row just to throw almost all of them away.
+    doc_grams = _gram_table(corpus, text_col, id_col, n)
     overlap = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.count_distinct(F.col("gram")).alias("n_overlap"))
     )
     return (
         corpus.select(F.col(id_col))

@@ -501,6 +501,13 @@ def test_connected_components_max_iter_exhaustion_warns_or_raises(spark):
         connected_components(e, max_iter=12).collect()
     assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
 
+    # fixpoint reached exactly ON the last permitted round: the confirming
+    # probe must prove convergence instead of raising a false positive
+    # (triangle: neighbor-min finishes in round 1, equality would need 2)
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "id_a bigint, id_b bigint")
+    got = {r.id: r.component for r in connected_components(tri, max_iter=1, strict=True).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
 
 def test_connected_components_long_chain_converges(spark):
     """A 64-node path graph converges within the O(log d) round budget —
