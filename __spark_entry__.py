@@ -640,6 +640,28 @@ def q_resized_features(spark, sf_dir):
     )
 
 
+def q_decoded_features(spark, sf_dir):
+    """REAL container decode (r04): P6-PPM images parsed byte-for-byte —
+    dims from the header, luma-histogram embeddings from the pixels.
+    Rows-only by necessity (binary decode is not SQL-expressible); the
+    decoders are pinned by hand-value tests in tests/test_multimodal.py."""
+    from pystreamfs_spark.functions.multimodal import (
+        extract_image_features,
+        synthesize_decodable_media,
+    )
+
+    media = synthesize_decodable_media(spark, n_rows=96, seed=42)
+    out = extract_image_features(media.where(F.col("kind") == "image"))
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + F.abs(x)), 6).alias("emb_l1"),
+    )
+
+
 def q_lsh_ann(spark, sf_dir):
     from pystreamfs_spark.operators.ann import lsh_cosine_topk
 
@@ -945,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_banded_near": q_simhash_banded_near,  # oracled; rotates into the r05 window
         "repetition_signals": q_repetition,  # oracled; rotates into the r05 window
         "decontaminate": q_decontam,  # oracled; rotates into the r05 window
+        "decoded_features": q_decoded_features,  # rows-only: real P6 decode
     }
 
 

@@ -131,3 +131,149 @@ def test_audio_features_deterministic_and_distinct_plane(spark):
         assert sr in (8000, 16000, 22050, 44100)
         assert 0.5 <= dur <= 30.0
         assert np.isclose(np.linalg.norm(emb), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# real uncompressed-container decode paths (r04)
+# ---------------------------------------------------------------------------
+
+def test_ppm_roundtrip_and_real_image_decode(spark):
+    """A P6 payload decodes to its EXACT header dims and pixel-derived
+    features: a constant-color image concentrates the whole luma histogram
+    in one bin and has zero std."""
+    import numpy as np
+
+    from pystreamfs_spark.functions.multimodal import (
+        _image_embedding,
+        _make_ppm,
+        _parse_ppm,
+        extract_image_features,
+    )
+
+    pix = np.full((5, 7, 3), [10, 200, 60], dtype=np.uint8)
+    payload = _make_ppm(pix)
+    w, h, back, end = _parse_ppm(payload)
+    assert (w, h) == (7, 5) and end == len(payload)
+    assert np.array_equal(back, pix)
+
+    d = spark.createDataFrame([(1, "image", bytearray(payload))],
+                              "media_id long, kind string, payload binary")
+    r = extract_image_features(d).first()
+    assert (r.width, r.height, r.n_bytes) == (7, 5, len(payload))
+    emb = np.array(r.embedding)
+    assert abs(np.linalg.norm(emb) - 1.0) < 1e-12
+    assert emb[1] < 1e-12                     # std of a constant image (FP eps)
+    assert (emb[2:] > 0).sum() == 1           # one occupied histogram bin
+    # engine output equals the direct NumPy featurization of the pixels
+    assert np.allclose(emb, _image_embedding(pix, 16))
+
+
+def test_bilinear_resize_hand_values_and_spark_path(spark):
+    """Bilinear resample against hand-computed values (2x2 -> 4x4 with
+    pixel-center mapping), and the Spark resize path re-featurizes the
+    genuinely resized pixels."""
+    import numpy as np
+
+    from pystreamfs_spark.functions.multimodal import (
+        _bilinear_resize,
+        _image_embedding,
+        _make_ppm,
+        resize_image_features,
+    )
+
+    pix = np.array([[[0, 0, 0], [100, 100, 100]],
+                    [[200, 200, 200], [60, 60, 60]]], dtype=np.uint8)
+    out = _bilinear_resize(pix, 4, 4)
+    # center mapping: xs = [-0.25, 0.25, 0.75, 1.25] -> fx clamped [0, .25, .75, 1]
+    # corners must be the source corners (edge clamp)
+    assert out[0, 0, 0] == 0 and out[0, 3, 0] == 100
+    assert out[3, 0, 0] == 200 and out[3, 3, 0] == 60
+    # an interior sample: y=0 row, x=0.25 -> 0*(0.75)+100*0.25 = 25
+    assert out[0, 1, 0] == 25
+    # identity resize returns the source pixels
+    assert np.array_equal(_bilinear_resize(pix, 2, 2), pix)
+
+    d = spark.createDataFrame([(9, "image", bytearray(_make_ppm(pix)))],
+                              "media_id long, kind string, payload binary")
+    r = resize_image_features(d, 4, 4).first()
+    assert (r.width, r.height) == (4, 4)
+    assert np.allclose(np.array(r.embedding), _image_embedding(out, 16))
+
+
+def test_video_frames_real_extraction_wraps(spark):
+    """Concatenated-P6 video: frame f gets the features of decoded frame
+    (f mod n_frames_available); each frame's features equal the standalone
+    image features of that frame."""
+    import numpy as np
+
+    from pystreamfs_spark.functions.multimodal import (
+        _image_embedding,
+        _make_ppm,
+        sample_frame_features,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (4, 6, 3), dtype=np.uint8) for _ in range(3)]
+    payload = b"".join(_make_ppm(f) for f in frames)
+    d = spark.createDataFrame([(2, "video", bytearray(payload))],
+                              "media_id long, kind string, payload binary")
+    rows = {r.frame_idx: np.array(r.embedding)
+            for r in sample_frame_features(d, n_frames=5).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    for f in range(5):
+        assert np.allclose(rows[f], _image_embedding(frames[f % 3], 16)), f
+
+
+def test_wav_real_decode_rate_duration_and_pitch(spark):
+    """RIFF/WAV: exact sample_rate/duration from the headers; a pure sine's
+    dominant FFT band is the one containing its frequency; spectral
+    centroid tracks pitch ordering."""
+    import numpy as np
+
+    from pystreamfs_spark.functions.multimodal import _make_wav, extract_audio_features
+
+    rate = 8000
+    t = np.arange(4000) / rate  # exactly 0.5 s
+    low = _make_wav(rate, 0.5 * np.sin(2 * np.pi * 100.0 * t))
+    high = _make_wav(rate, 0.5 * np.sin(2 * np.pi * 3000.0 * t))
+    d = spark.createDataFrame(
+        [(1, "audio", bytearray(low)), (2, "audio", bytearray(high))],
+        "media_id long, kind string, payload binary",
+    )
+    got = {r.media_id: r for r in extract_audio_features(d).collect()}
+    for mid in (1, 2):
+        assert got[mid].sample_rate == 8000
+        assert got[mid].duration_s == 0.5
+    # embedding[2] is the spectral centroid (normalized): higher pitch → larger
+    assert got[2].embedding[2] > got[1].embedding[2]
+    # the 3 kHz sine's top band index must exceed the 100 Hz sine's
+    bands_lo = np.array(got[1].embedding[3:])
+    bands_hi = np.array(got[2].embedding[3:])
+    assert bands_hi.argmax() > bands_lo.argmax()
+
+
+def test_decodable_media_mixed_corpus_end_to_end(spark):
+    """synthesize_decodable_media covers all three kinds; every image/video
+    payload really parses; non-P6/RIFF payloads still take the digest
+    fallback in the same batch (mixed-format batches must not crash)."""
+    import numpy as np
+
+    from pystreamfs_spark.functions.multimodal import (
+        extract_image_features,
+        synthesize_decodable_media,
+    )
+
+    m = synthesize_decodable_media(spark, n_rows=30, seed=11).cache()
+    kinds = {r["kind"]: r["count"] for r in m.groupBy("kind").count().collect()}
+    assert set(kinds) == {"image", "audio", "video"} and all(v > 0 for v in kinds.values())
+
+    mixed = m.union(
+        spark.createDataFrame([(999, "image", bytearray(b"not-a-real-container"))],
+                              "media_id long, kind string, payload binary")
+    )
+    feats = {r.media_id: r for r in extract_image_features(mixed.where("kind = 'image'")).collect()}
+    assert 999 in feats  # fallback row decoded via digest path
+    real_imgs = [r for mid, r in feats.items() if mid != 999]
+    assert all(16 <= r.width <= 31 and 12 <= r.height <= 23 for r in real_imgs)
+    for r in real_imgs:
+        assert abs(np.linalg.norm(np.array(r.embedding)) - 1.0) < 1e-12
