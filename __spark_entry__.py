@@ -450,6 +450,38 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2, max_df=100)
 
 
+def q_resample_grid(spark, sf_dir):
+    """Time-grid gap fill: per-user 6h grid with last-observation carry —
+    raw parquet values flow through unchanged (no arithmetic), so the
+    compare is exact unrounded."""
+    from pystreamfs_spark.operators.timegrid import resample_last
+
+    return resample_last(_t(spark, sf_dir, "events"), interval_s=21600)
+
+
+def q_rank_leaderboard(spark, sf_dir):
+    """Ranking-function breadth: rank / dense_rank / ntile(4) over each
+    nation's customer revenue. Order key is the 2dp-rounded revenue (sums
+    of 2-dec data — the FP-order-safe precedent) with custkey tiebreak, so
+    rank assignment is deterministic in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return rev.select(
+        "c_custkey",
+        "c_nationkey",
+        "revenue",
+        F.rank().over(w).cast("int").alias("rk"),
+        F.dense_rank().over(w).cast("int").alias("drk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals (top/dup token and 3-gram
     fractions) — ratios of exact integer counts, IEEE-identical unrounded."""
@@ -968,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition,  # oracled; rotates into the r05 window
         "decontaminate": q_decontam,  # oracled; rotates into the r05 window
         "decoded_features": q_decoded_features,  # rows-only: real P6 decode
+        "resample_grid": q_resample_grid,  # oracled; rotates into the r05 window
+        "rank_leaderboard": q_rank_leaderboard,  # oracled; rotates into the r05 window
     }
 
 
@@ -1477,6 +1511,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN us ON us.doc_id = d.doc_id
             LEFT JOIN gs ON gs.doc_id = d.doc_id
+        """,
+        "resample_grid": """
+            WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS gt,
+                               CAST(value AS DOUBLE) AS v, 0 AS is_grid FROM events),
+            b AS (SELECT user_id,
+                         CAST(floor(MIN(gt) / 21600) * 21600 AS BIGINT) AS t0,
+                         CAST(floor(MAX(gt) / 21600) * 21600 AS BIGINT) AS t1
+                  FROM ev GROUP BY 1),
+            grid AS (SELECT user_id, unnest(range(t0, t1 + 1, 21600)) AS gt,
+                            CAST(NULL AS DOUBLE) AS v, 1 AS is_grid FROM b),
+            m AS (SELECT * FROM grid UNION ALL SELECT * FROM ev),
+            wv AS (SELECT user_id, gt, is_grid,
+                          last_value(v IGNORE NULLS) OVER (
+                            PARTITION BY user_id
+                            ORDER BY gt, is_grid, v NULLS FIRST
+                            ROWS UNBOUNDED PRECEDING) AS vl
+                   FROM m)
+            SELECT user_id, make_timestamp(gt * 1000000) AS grid_ts, vl AS v_last
+            FROM wv WHERE is_grid = 1
+        """,
+        "rank_leaderboard": """
+            WITH rev AS (
+              SELECT c_custkey, c_nationkey, ROUND(SUM(o_totalprice), 2) AS revenue
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1, 2)
+            SELECT c_custkey, c_nationkey, revenue,
+                   CAST(RANK() OVER w AS INT) AS rk,
+                   CAST(DENSE_RANK() OVER w AS INT) AS drk,
+                   CAST(NTILE(4) OVER w AS INT) AS quartile
+            FROM rev
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY revenue DESC, c_custkey)
         """,
         "decontaminate": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -276,6 +276,40 @@ def test_simhash_banded_near_matches_bruteforce(spark, sf_dir):
         simhash_banded_near_duplicates(docs, n_bits=16, d=4, n_bands=5)
 
 
+def test_resample_last_gap_fill_semantics(spark):
+    """Hand-checked grid: floor-aligned bounds, NULL before the first
+    observation, carry across gaps, same-instant event beats the grid
+    marker, same-ts duplicate resolves to the larger value."""
+    from datetime import datetime, timezone
+
+    from pystreamfs_spark.operators.timegrid import resample_last
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        ("a", ts(100), 5.0),
+        ("a", ts(250), 7.0),
+        ("a", ts(360), 9.0),   # exactly on a grid instant
+        ("a", ts(360), 3.0),   # same-ts duplicate: max value wins
+        ("b", ts(65), 1.0),
+    ]
+    d = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    got = {
+        (r.user_id, int(r.grid_ts.timestamp())): r.v_last
+        for r in resample_last(d, interval_s=60, entity_col="user_id").collect()
+    }
+    assert got == {
+        ("a", 60): None,   # grid floor(100/60)*60 precedes the first event
+        ("a", 120): 5.0,
+        ("a", 180): 5.0,
+        ("a", 240): 5.0,
+        ("a", 300): 7.0,
+        ("a", 360): 9.0,   # event at the instant is visible; max of dup ts
+        ("b", 60): None,
+    }
+
+
 def test_repetition_signals_hand_counts(spark):
     """Gopher repetition fractions on crafted docs with known counts."""
     from pystreamfs_spark.operators.quality import repetition_signals
