@@ -482,6 +482,22 @@ def q_rank_leaderboard(spark, sf_dir):
     )
 
 
+def q_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup: per-day HLL distinct-user estimates plus
+    the grand total from a metadata-only sketch union (no rescan). Rows-
+    only by necessity — DataSketches estimates are deterministic but
+    engine-specific; error bounds and merge-vs-one-shot identity are
+    asserted in tests/test_operators.py."""
+    from pystreamfs_spark.operators.sketches import hll_distinct, hll_rollup
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = hll_distinct(ev, ["day"], "user_id")
+    total = hll_rollup(daily, [])
+    return daily.select(F.col("day").cast("string").alias("day"), "approx_distinct").unionByName(
+        total.select(F.lit("TOTAL").alias("day"), "approx_distinct")
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals (top/dup token and 3-gram
     fractions) — ratios of exact integer counts, IEEE-identical unrounded."""
@@ -1002,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decoded_features": q_decoded_features,  # rows-only: real P6 decode
         "resample_grid": q_resample_grid,  # oracled; rotates into the r05 window
         "rank_leaderboard": q_rank_leaderboard,  # oracled; rotates into the r05 window
+        "sketch_rollup": q_sketch_rollup,  # rows-only: engine-specific HLL estimates
     }
 
 

@@ -276,6 +276,61 @@ def test_simhash_banded_near_matches_bruteforce(spark, sf_dir):
         simhash_banded_near_duplicates(docs, n_bits=16, d=4, n_bands=5)
 
 
+def test_hll_sketch_error_bound_and_rollup_consistency(spark, sf_dir):
+    """HLL per-day estimates within the lg_k error model vs exact; the
+    daily→total rollup (sketch union, no rescan) must agree with both the
+    one-shot total sketch and the exact global distinct."""
+    from pystreamfs_spark.operators.sketches import hll_distinct, hll_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = hll_distinct(ev, ["day"], "user_id", lg_k=12).cache()
+    exact = {
+        r.day: r.n
+        for r in ev.groupBy("day").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    rel = 3 * 1.04 / (2**12) ** 0.5  # 3 standard errors ≈ 4.9%
+    for r in daily.collect():
+        assert abs(r.approx_distinct - exact[r.day]) <= max(2, rel * exact[r.day]), r.day
+
+    total = hll_rollup(daily, []).first()
+    exact_total = ev.agg(F.count_distinct("user_id")).first()[0]
+    assert abs(total.approx_distinct - exact_total) <= max(2, rel * exact_total)
+    one_shot = hll_distinct(ev, [], "user_id", lg_k=12).first()
+    # merging per-day sketches is lossless for HLL: same state as one shot
+    assert total.approx_distinct == one_shot.approx_distinct
+
+
+def test_kll_quantiles_rank_error_and_merge(spark, sf_dir):
+    """KLL per-type medians within rank-error of exact; merged sketch
+    quantiles (no rescan) also within bound on the global distribution."""
+    from pystreamfs_spark.operators.sketches import kll_quantiles, kll_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_type = kll_quantiles(ev, ["event_type"], "value", [0.5], k=200).cache()
+
+    vals = sorted(r.value for r in ev.select("value").collect())
+
+    def exact_at(p, seq):
+        return seq[min(int(p * len(seq)), len(seq) - 1)]
+
+    eps = 0.0134 * 1.5  # 1.5x the k=200 single-sided rank error
+    per_type_vals: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        per_type_vals.setdefault(r.event_type, []).append(r.value)
+    for r in per_type.collect():
+        seq = sorted(per_type_vals[r.event_type])
+        lo = exact_at(max(0.0, 0.5 - eps), seq)
+        hi = exact_at(min(1.0, 0.5 + eps), seq)
+        assert lo <= r.q_0_5 <= hi, (r.event_type, r.q_0_5, lo, hi)
+
+    merged = kll_rollup(per_type, [], [0.5]).first()
+    lo = exact_at(0.5 - eps, vals)
+    hi = exact_at(0.5 + eps, vals)
+    assert lo <= merged.q_0_5 <= hi, (merged.q_0_5, lo, hi)
+
+
 def test_resample_last_gap_fill_semantics(spark):
     """Hand-checked grid: floor-aligned bounds, NULL before the first
     observation, carry across gaps, same-instant event beats the grid
