@@ -482,6 +482,14 @@ def q_rank_leaderboard(spark, sf_dir):
     )
 
 
+def q_skew_audit(spark, sf_dir):
+    """Key-skew audit over the events type key: top keys by count with
+    global share and skew factor — exact integer counts and ratios."""
+    from pystreamfs_spark.operators.skew import skew_audit
+
+    return skew_audit(_t(spark, sf_dir, "events"), ["event_type"], top_n=5)
+
+
 def q_sketch_rollup(spark, sf_dir):
     """Mergeable-sketch rollup: per-day HLL distinct-user estimates plus
     the grand total from a metadata-only sketch union (no rescan). Rows-
@@ -1019,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_grid": q_resample_grid,  # oracled; rotates into the r05 window
         "rank_leaderboard": q_rank_leaderboard,  # oracled; rotates into the r05 window
         "sketch_rollup": q_sketch_rollup,  # rows-only: engine-specific HLL estimates
+        "skew_audit": q_skew_audit,  # oracled; rotates into the r05 window
     }
 
 
@@ -1547,6 +1556,20 @@ def oracle_sql() -> dict[str, str]:
                    FROM m)
             SELECT user_id, make_timestamp(gt * 1000000) AS grid_ts, vl AS v_last
             FROM wv WHERE is_grid = 1
+        """,
+        "skew_audit": """
+            WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                         CAST(COUNT(*) AS BIGINT) AS n_keys,
+                         CAST(MAX(n) AS BIGINT) AS n_max FROM c),
+            r AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+                         ROW_NUMBER() OVER (ORDER BY n DESC, event_type) AS rank
+                  FROM c)
+            SELECT r.event_type, r.n, CAST(r.rank AS INT) AS rank,
+                   CAST(r.n AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS share,
+                   t.n_rows, t.n_keys,
+                   CAST(t.n_max AS DOUBLE) * CAST(t.n_keys AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS skew_factor
+            FROM r, t WHERE r.rank <= 5
         """,
         "rank_leaderboard": """
             WITH rev AS (

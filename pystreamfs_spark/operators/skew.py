@@ -1,0 +1,91 @@
+"""Key-skew audit: the measurement that decides the scale knobs.
+
+Every skew remedy in this engine — AQE skew-join splitting, the dedup
+``max_bucket_size`` cap, the tfidf/ngram ``max_df`` stop-key cut, salting a
+hot aggregation key — needs the same fact first: HOW skewed is the key?
+``skew_audit`` answers it with one pass: per-key counts (map-side combined),
+the top-N heaviest keys with their share of all rows, and summary factors
+(max/mean ratio, share of the single heaviest key). Exact integers and
+integer ratios — exact SQL oracle, no sampling.
+
+At 100 TB this is one shuffle of O(distinct keys) partial counts; run it on
+the join/group key BEFORE sizing a job, the same way the dedup audits run
+next to the dedup pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def skew_audit(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Top-``top_n`` heaviest keys with global skew context on every row:
+
+    (key..., n, rank, share, n_rows, n_keys, skew_factor) where ``share`` =
+    n / n_rows, ``skew_factor`` = n_max / mean-per-key = n_max · n_keys /
+    n_rows (1.0 = perfectly uniform). Deterministic total order: count
+    DESC, then the key columns ASC. The single-row global aggregate joins
+    back as a broadcast — the per-key table never shuffles twice."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("__n_max"),
+    )
+    w = Window.orderBy(F.col("n").desc(), *[F.col(c).asc() for c in key_cols])
+    top = counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_n)
+    return top.crossJoin(F.broadcast(totals)).select(
+        *key_cols,
+        "n",
+        F.col("rank").cast("int").alias("rank"),
+        (F.col("n").cast("double") / F.col("n_rows").cast("double")).alias("share"),
+        "n_rows",
+        "n_keys",
+        (
+            F.col("__n_max").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_factor"),
+    )
+
+
+def salt_key(id_col, n_salts: int) -> "F.Column":
+    """Deterministic salt in [0, n_salts) from a row-unique column — the
+    standard remedy once :func:`skew_audit` shows a hot key. Hash-based
+    (no RNG): the same row always lands in the same salt bucket, so
+    retries and resumed jobs stay deterministic."""
+    return F.pmod(F.xxhash64(id_col, F.lit(0x5A17)), F.lit(n_salts)).cast("int")
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple],
+    id_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over a skewed key: phase 1 groups by
+    (key, salt) — the hot key's rows split across ``n_salts`` tasks —
+    phase 2 merges the per-salt partials on the key alone (a tiny shuffle:
+    n_keys × n_salts rows).
+
+    ``aggs`` maps output column → (partial_fn, merge_fn, src_col), e.g.
+    ``{"n": (F.count, F.sum, "value"), "v_sum": (F.sum, F.sum, "value"),
+    "v_max": (F.max, F.max, "value")}`` — the algebraic decomposition the
+    caller asserts. For Spark's own algebraic aggregates Catalyst already
+    does map-side partial aggregation; use this form when the partial
+    state itself is per-key heavy (distinct sub-key counts, collect-style
+    states) or when a downstream window/group would pin the hot key into
+    one task."""
+    salted = df.withColumn("__salt", salt_key(F.col(id_col), n_salts))
+    phase1 = salted.groupBy(*key_cols, "__salt").agg(
+        *[pf(F.col(src)).alias(out) for out, (pf, _mf, src) in aggs.items()]
+    )
+    return phase1.groupBy(*key_cols).agg(
+        *[mf(F.col(out)).alias(out) for out, (_pf, mf, _src) in aggs.items()]
+    )

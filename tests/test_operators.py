@@ -276,6 +276,50 @@ def test_simhash_banded_near_matches_bruteforce(spark, sf_dir):
         simhash_banded_near_duplicates(docs, n_bits=16, d=4, n_bands=5)
 
 
+def test_skew_audit_hand_counts_and_salted_agg_equivalence(spark):
+    """skew_audit on a crafted 10/4/2 distribution: exact shares, ranks,
+    and skew factor; salted_agg must equal the direct aggregation for an
+    algebraic decomposition regardless of salt count."""
+    from pystreamfs_spark.operators.skew import salted_agg, skew_audit
+
+    rows = [(i, "hot", float(i)) for i in range(10)]
+    rows += [(100 + i, "warm", float(i)) for i in range(4)]
+    rows += [(200 + i, "cold", float(i)) for i in range(2)]
+    d = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+
+    audit = {r.rank: r for r in skew_audit(d, ["event_type"], top_n=2).collect()}
+    assert set(audit) == {1, 2}
+    assert audit[1].event_type == "hot" and audit[1].n == 10
+    assert audit[1].share == 10 / 16 and audit[1].n_rows == 16 and audit[1].n_keys == 3
+    assert abs(audit[1].skew_factor - (10 * 3 / 16)) < 1e-15
+    assert audit[2].event_type == "warm" and audit[2].n == 4
+
+    direct = {
+        r.event_type: (r.n, round(r.v_sum, 2), r.v_max)
+        for r in d.groupBy("event_type").agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("v_sum"),
+            F.max("value").alias("v_max"),
+        ).collect()
+    }
+    for n_salts in (1, 4, 64):
+        salted = {
+            r.event_type: (r.n, round(r.v_sum, 2), r.v_max)
+            for r in salted_agg(
+                d,
+                ["event_type"],
+                {
+                    "n": (F.count, F.sum, "value"),
+                    "v_sum": (F.sum, F.sum, "value"),
+                    "v_max": (F.max, F.max, "value"),
+                },
+                id_col="event_id",
+                n_salts=n_salts,
+            ).collect()
+        }
+        assert salted == direct, n_salts
+
+
 def test_hll_sketch_error_bound_and_rollup_consistency(spark, sf_dir):
     """HLL per-day estimates within the lg_k error model vs exact; the
     daily→total rollup (sketch union, no rescan) must agree with both the
