@@ -191,6 +191,9 @@ def main() -> None:
         # r04 quality ops over the sf documents corpus
         "repetition_signals": lambda: entry_queries["repetition_signals"](spark, sf_dir).count(),
         "decontaminate": lambda: entry_queries["decontaminate"](spark, sf_dir).count(),
+        # r04: gap-fill resample over the full events table; sketch rollup
+        "resample_grid": lambda: entry_queries["resample_grid"](spark, sf_dir).count(),
+        "sketch_rollup": lambda: entry_queries["sketch_rollup"](spark, sf_dir).count(),
     }
     if only is not None:
         suite = {k: v for k, v in suite.items() if k in only}

@@ -187,3 +187,31 @@ def test_repetition_signals_exchange_budget(spark, sf_dir):
     assert count_exchanges(out) <= 7, text[:3000]
     # partial aggregation (map-side combine) must appear on the gram aggs
     assert "partial_count" in text or "HashAggregate" in text, text[:2000]
+
+
+def test_resample_plan_no_cartesian_and_budget(spark, sf_dir):
+    """resample_last: grid generated NEXT TO the data (sequence+explode
+    after the bounds agg — never a driver-side range join), one window
+    pass; no cartesian product anywhere and a tight exchange budget
+    (bounds agg + union-window partitioning; AQE may add coalesces)."""
+    from pystreamfs_spark.operators.timegrid import resample_last
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = resample_last(ev, interval_s=21600)
+    text = explain_str(out)
+    assert "CartesianProduct" not in text, text[:3000]
+    assert len(re.findall(r"^\(\d+\) Generate", text, flags=re.MULTILINE)) == 1, text[:3000]
+    assert count_exchanges(out) <= 4, text[:3000]
+
+
+def test_skew_audit_broadcasts_global_totals(spark, sf_dir):
+    """skew_audit: the single-row totals join back as a broadcast; the
+    per-key count table is shuffled once for the agg and once for the
+    global rank window — never re-aggregated."""
+    from pystreamfs_spark.operators.skew import skew_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = skew_audit(ev, ["event_type"], top_n=5)
+    text = explain_str(out)
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text, text[:3000]
+    assert count_exchanges(out) <= 5, text[:3000]
