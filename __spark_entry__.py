@@ -482,6 +482,17 @@ def q_rank_leaderboard(spark, sf_dir):
     )
 
 
+def q_pack_stream(spark, sf_dir):
+    """GPT-style sequence packing of the chunked corpus: global token
+    offsets via the distributed prefix sum, packs split at exactly 256
+    tokens. Exact integers throughout."""
+    from pystreamfs_spark.operators.chunk import chunk_by_tokens, pack_token_stream
+
+    ch = chunk_by_tokens(_t(spark, sf_dir, "documents"), chunk_size=32)
+    out = pack_token_stream(ch.drop("chunk_text"), context_len=256)
+    return out.select("doc_id", "chunk_id", "n_tokens", "token_offset", "pack_id", "spans_boundary")
+
+
 def q_skew_audit(spark, sf_dir):
     """Key-skew audit over the events type key: top keys by count with
     global share and skew factor — exact integer counts and ratios."""
@@ -1028,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_leaderboard": q_rank_leaderboard,  # oracled; rotates into the r05 window
         "sketch_rollup": q_sketch_rollup,  # rows-only: engine-specific HLL estimates
         "skew_audit": q_skew_audit,  # oracled; rotates into the r05 window
+        "pack_stream": q_pack_stream,  # oracled; rotates into the r05 window
     }
 
 
@@ -1846,6 +1858,26 @@ def oracle_sql() -> dict[str, str]:
                    FROM cks)
             SELECT doc_id, chunk_id, array_to_string(c, ' ') AS chunk_text, CAST(len(c) AS INT) AS n_tokens
             FROM ck
+        """,
+        "pack_stream": f"""
+            WITH toks AS (SELECT doc_id,
+                          string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS t
+                          FROM documents),
+            cks AS (SELECT doc_id,
+                           [t[(i*32+1):(i*32+32)] for i in range(0, CAST((len(t)+31)//32 AS BIGINT))] AS chunks
+                    FROM toks),
+            ck AS (SELECT doc_id, CAST(unnest(range(len(chunks))) AS INT) AS chunk_id, unnest(chunks) AS c
+                   FROM cks),
+            n AS (SELECT doc_id, chunk_id, CAST(len(c) AS INT) AS n_tokens FROM ck),
+            p AS (SELECT doc_id, chunk_id, n_tokens,
+                         SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING)
+                           - n_tokens AS off
+                  FROM n)
+            SELECT doc_id, chunk_id, n_tokens,
+                   CAST(off AS BIGINT) AS token_offset,
+                   CAST(floor(off / 256) AS BIGINT) AS pack_id,
+                   floor((off + greatest(n_tokens, 1) - 1) / 256) > floor(off / 256) AS spans_boundary
+            FROM p
         """,
         "stratified_sample": """
             SELECT event_id, user_id, event_type

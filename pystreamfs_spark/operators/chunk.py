@@ -51,3 +51,73 @@ def chunk_by_tokens(
         F.array_join(F.col("__ck"), " ").alias("chunk_text"),
         F.size(F.col("__ck")).alias("n_tokens"),
     )
+
+
+def pack_token_stream(
+    chunks: DataFrame,
+    context_len: int,
+    id_col: str = "doc_id",
+    seq_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate the (id, seq)-ordered token
+    stream and split it at exact ``context_len`` boundaries — documents
+    cross pack boundaries, nothing is padded (the standard pretraining
+    packing; contrast :func:`chunk_by_tokens`, which never crosses a
+    document). Each row gets its global ``token_offset``, its ``pack_id``
+    (the pack its FIRST token lands in), and ``spans_boundary`` (true when
+    the row straddles a pack edge and the loader must split it).
+
+    The global running sum is a DISTRIBUTED prefix sum, not a single
+    global window (which would serialize the whole stream through one
+    task): ``id_col``'s value range is cut into ``n_buckets`` order-aligned
+    buckets (one tiny min/max aggregate, broadcast back), the cumulative
+    sum runs partition-parallel within each bucket, and only the
+    n_buckets-row bucket-total table sees an ordered window before its
+    prefix offsets broadcast-join back. At any scale the serial step is
+    O(n_buckets) rows; size ``n_buckets`` to a small multiple of the
+    cluster's task slots.
+
+    Requires an integer ``id_col``; the packing order is
+    (id_col, seq_col) ascending. Output: input columns minus the payload +
+    (token_offset, pack_id, spans_boundary)."""
+    if context_len < 1:
+        raise ValueError("context_len must be >= 1")
+    from pyspark.sql import Window
+
+    bounds = chunks.agg(
+        F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi")
+    )
+    with_b = chunks.crossJoin(F.broadcast(bounds)).withColumn(
+        "__b",
+        F.floor(
+            (F.col(id_col) - F.col("__lo"))
+            / F.greatest(
+                F.ceil((F.col("__hi") - F.col("__lo") + 1) / F.lit(n_buckets)), F.lit(1)
+            )
+        ).cast("int"),
+    ).drop("__lo", "__hi")
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(F.col(id_col), F.col(seq_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = with_b.withColumn("__cum", F.sum(F.col(tokens_col).cast("long")).over(w_in))
+    totals = cum.groupBy("__b").agg(F.sum(F.col(tokens_col).cast("long")).alias("__bt"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "__b", F.coalesce(F.sum("__bt").over(w_b), F.lit(0)).alias("__pre")
+    )
+    out = cum.join(F.broadcast(prefix), "__b")
+    off = F.col("__pre") + F.col("__cum") - F.col(tokens_col)
+    last_tok = off + F.greatest(F.col(tokens_col), F.lit(1)) - F.lit(1)
+    cl = F.lit(int(context_len))
+    return (
+        out.withColumn("token_offset", off.cast("long"))
+        .withColumn("pack_id", F.floor(F.col("token_offset") / cl).cast("long"))
+        .withColumn(
+            "spans_boundary", (F.floor(last_tok / cl) > F.col("pack_id"))
+        )
+        .drop("__b", "__cum", "__pre")
+    )

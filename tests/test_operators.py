@@ -276,6 +276,31 @@ def test_simhash_banded_near_matches_bruteforce(spark, sf_dir):
         simhash_banded_near_duplicates(docs, n_bits=16, d=4, n_bands=5)
 
 
+def test_pack_token_stream_prefix_sum_and_bucket_invariance(spark):
+    """Distributed prefix-sum packing equals the sequential reference for
+    every bucket count (the bucketing must be invisible), with exact
+    boundary-straddle flags."""
+    from pystreamfs_spark.operators.chunk import pack_token_stream
+
+    rows = [(d, c, 7 + (d * 3 + c) % 9) for d in [2, 5, 9, 17, 40] for c in range(4)]
+    d = spark.createDataFrame(rows, "doc_id bigint, chunk_id int, n_tokens int")
+
+    ordered = sorted(rows)
+    expect = {}
+    off = 0
+    for doc, ck, n in ordered:
+        pack = off // 16
+        expect[(doc, ck)] = (off, pack, (off + n - 1) // 16 > pack)
+        off += n
+
+    for nb in (1, 3, 256):
+        got = {
+            (r.doc_id, r.chunk_id): (r.token_offset, r.pack_id, r.spans_boundary)
+            for r in pack_token_stream(d, context_len=16, n_buckets=nb).collect()
+        }
+        assert got == expect, nb
+
+
 def test_skew_audit_hand_counts_and_salted_agg_equivalence(spark):
     """skew_audit on a crafted 10/4/2 distribution: exact shares, ranks,
     and skew factor; salted_agg must equal the direct aggregation for an
