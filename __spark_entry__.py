@@ -482,6 +482,39 @@ def q_rank_leaderboard(spark, sf_dir):
     )
 
 
+def q_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation over the events type key — the oracle
+    is the PLAIN GROUP BY: salting must be invisible in the result."""
+    from pystreamfs_spark.operators.skew import salted_agg
+
+    out = salted_agg(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        {
+            "n": (F.count, F.sum, "value"),
+            "v_sum": (F.sum, F.sum, "value"),
+            "v_max": (F.max, F.max, "value"),
+        },
+        id_col="event_id",
+        n_salts=16,
+    )
+    return out.select("event_type", "n", F.round("v_sum", 2).alias("v_sum"), "v_max")
+
+
+def q_kll_quantiles(spark, sf_dir):
+    """KLL quantile sketches per event type + the merged global row.
+    Rows-only: KLL compaction is randomized, so quantile VALUES are not
+    promised stable across runs — the error-bound and merge-consistency
+    guarantees are asserted against exact aggregates in tests."""
+    from pystreamfs_spark.operators.sketches import kll_quantiles, kll_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    per_type = kll_quantiles(ev, ["event_type"], "value", [0.5, 0.9])
+    merged = kll_rollup(per_type, [], [0.5, 0.9]).withColumn("event_type", F.lit("ALL"))
+    cols = ["event_type", F.round("q_0_5", 2).alias("q50"), F.round("q_0_9", 2).alias("q90")]
+    return per_type.select(*cols).unionByName(merged.select(*cols))
+
+
 def q_pack_stream(spark, sf_dir):
     """GPT-style sequence packing of the chunked corpus: global token
     offsets via the distributed prefix sum, packs split at exactly 256
@@ -1040,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup": q_sketch_rollup,  # rows-only: engine-specific HLL estimates
         "skew_audit": q_skew_audit,  # oracled; rotates into the r05 window
         "pack_stream": q_pack_stream,  # oracled; rotates into the r05 window
+        "salted_agg": q_salted_agg,  # oracled; rotates into the r05 window
+        "kll_quantiles": q_kll_quantiles,  # rows-only: randomized sketch compaction
     }
 
 
@@ -1568,6 +1603,13 @@ def oracle_sql() -> dict[str, str]:
                    FROM m)
             SELECT user_id, make_timestamp(gt * 1000000) AS grid_ts, vl AS v_last
             FROM wv WHERE is_grid = 1
+        """,
+        "salted_agg": """
+            SELECT event_type,
+                   COUNT(value) AS n,
+                   ROUND(SUM(value), 2) AS v_sum,
+                   MAX(value) AS v_max
+            FROM events GROUP BY event_type
         """,
         "skew_audit": """
             WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),

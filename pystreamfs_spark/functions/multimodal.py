@@ -171,7 +171,12 @@ def _audio_embedding(samples: np.ndarray, rate: int, emb_dim: int) -> np.ndarray
     if samples.size == 0:
         return np.zeros(emb_dim)
     rms = float(np.sqrt(np.mean(samples**2)))
-    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    # np.diff of a 1-sample stream is empty and its mean would be NaN
+    zcr = (
+        float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+        if samples.size > 1
+        else 0.0
+    )
     spec = np.abs(np.fft.rfft(samples)) ** 2
     freqs = np.fft.rfftfreq(samples.size, d=1.0 / rate)
     centroid = float((freqs * spec).sum() / spec.sum() / (rate / 2)) if spec.sum() > 0 else 0.0
@@ -195,34 +200,17 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def _decode_batch(payloads: list[bytes], emb_dim: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Batch decode. P6-PPM payloads are decoded for REAL (dims from the
-    header, luma-histogram embedding); anything else takes the
-    deterministic digest fallback (codec formats need PIL/ffmpeg — the
-    documented seam). Both paths are row-independent: the same payload
-    decodes identically regardless of batch/partition placement.
-    Returns (width, height, embeddings[n, emb_dim])."""
-    width, height, emb = _stub_decode_batch(payloads, emb_dim)
-    for i, p in enumerate(payloads):
-        if p[:2] == b"P6":
-            w, h, pix, _ = _parse_ppm(p)
-            width[i], height[i] = w, h
-            emb[i] = _image_embedding(pix, emb_dim)
-    return width, height, emb
-
-
-def _stub_decode_batch(payloads: list[bytes], emb_dim: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Digest fallback, batch form: deterministic pseudo-decode from each
-    payload's md5 digest. Vectorized: the only per-row Python is the md5
-    call — a real decoder would pay a per-row decode there too."""
+def _stub_gauss(payloads: list[bytes], emb_dim: int, offset: np.uint64 | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Digest fallback core: md5 each payload, counter-mode PRNG (one mixed
+    word per (row, slot)), Box-Muller, unit-norm. Vectorized — the only
+    per-row Python is the md5 call. Returns (raw_digests[n, 16],
+    embeddings[n, emb_dim]); ``offset`` selects a counter plane."""
     n = len(payloads)
     digests = b"".join(hashlib.md5(p).digest() for p in payloads)
     raw = np.frombuffer(digests, dtype=np.uint8).reshape(n, 16)
-    width = (64 + raw[:, 0] % 192).astype(np.int32)
-    height = (64 + raw[:, 1] % 192).astype(np.int32)
     seeds = raw[:, 2:10].copy().view(np.uint64).ravel()
-    # counter-mode PRNG: one mixed word per (row, slot), then Box-Muller —
-    # all-NumPy, no per-row Generator construction
+    if offset is not None:
+        seeds = seeds + offset
     half = (emb_dim + 1) // 2
     ctr = np.arange(1, 2 * half + 1, dtype=np.uint64) * _GOLD
     words = _mix64(seeds[:, None] + ctr[None, :])
@@ -232,7 +220,46 @@ def _stub_decode_batch(payloads: list[bytes], emb_dim: int) -> tuple[np.ndarray,
     r = np.sqrt(-2.0 * np.log(u1))
     emb = np.concatenate([r * np.cos(2 * np.pi * u2), r * np.sin(2 * np.pi * u2)], axis=1)[:, :emb_dim]
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
-    emb = emb / np.where(norms == 0, 1.0, norms)
+    return raw, emb / np.where(norms == 0, 1.0, norms)
+
+
+def _decode_batch(payloads: list[bytes], emb_dim: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch decode. P6-PPM payloads are decoded for REAL (dims from the
+    header, luma-histogram embedding); anything else — including a payload
+    whose magic LOOKS like P6 but is malformed/truncated — takes the
+    deterministic digest fallback (codec formats need PIL/ffmpeg — the
+    documented seam); a corrupt file must degrade a row, never fail the
+    job. The fallback runs ONLY on the rows that need it. Both paths are
+    row-independent: the same payload decodes identically regardless of
+    batch/partition placement. Returns (width, height, emb[n, emb_dim])."""
+    n = len(payloads)
+    width = np.empty(n, dtype=np.int32)
+    height = np.empty(n, dtype=np.int32)
+    emb = np.empty((n, emb_dim), dtype=np.float64)
+    stub_idx = []
+    for i, p in enumerate(payloads):
+        if p[:2] == b"P6":
+            try:
+                w, h, pix, _ = _parse_ppm(p)
+                width[i], height[i] = w, h
+                emb[i] = _image_embedding(pix, emb_dim)
+                continue
+            except Exception:
+                pass  # malformed despite the magic → digest fallback
+        stub_idx.append(i)
+    if stub_idx:
+        raw, se = _stub_gauss([payloads[i] for i in stub_idx], emb_dim)
+        width[stub_idx] = (64 + raw[:, 0] % 192).astype(np.int32)
+        height[stub_idx] = (64 + raw[:, 1] % 192).astype(np.int32)
+        emb[stub_idx] = se
+    return width, height, emb
+
+
+def _stub_decode_batch(payloads: list[bytes], emb_dim: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Digest fallback, batch form (kept for direct callers/tests)."""
+    raw, emb = _stub_gauss(payloads, emb_dim)
+    width = (64 + raw[:, 0] % 192).astype(np.int32)
+    height = (64 + raw[:, 1] % 192).astype(np.int32)
     return width, height, emb
 
 
@@ -331,13 +358,21 @@ def sample_frame_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             data = [bytes(p) if p is not None else b"" for p in pdf[payload_col]]
-            emb = _frame_embeddings(data, n_frames, emb_dim)  # (n, F, d)
+            n = len(data)
+            emb = np.empty((n, n_frames, emb_dim), dtype=np.float64)
+            stub_idx = []
             for i, p in enumerate(data):
                 if p[:2] == b"P6":
-                    frames = _split_ppm_frames(p)
-                    for f in range(n_frames):
-                        emb[i, f] = _image_embedding(frames[f % len(frames)][2], emb_dim)
-            n = len(data)
+                    try:
+                        frames = _split_ppm_frames(p)
+                        for f in range(n_frames):
+                            emb[i, f] = _image_embedding(frames[f % len(frames)][2], emb_dim)
+                        continue
+                    except Exception:
+                        pass  # malformed despite the magic → digest fallback
+                stub_idx.append(i)
+            if stub_idx:
+                emb[stub_idx] = _frame_embeddings([data[i] for i in stub_idx], n_frames, emb_dim)
             yield pd.DataFrame(
                 {
                     "media_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), n_frames),
@@ -377,25 +412,22 @@ def resize_image_features(
         for pdf in batches:
             data = [bytes(p) if p is not None else b"" for p in pdf[payload_col]]
             n = len(data)
-            digests = b"".join(hashlib.md5(p).digest() for p in data)
-            raw = np.frombuffer(digests, dtype=np.uint8).reshape(n, 16)
-            seeds = raw[:, 2:10].copy().view(np.uint64).ravel() + dims_off
-            half = (emb_dim + 1) // 2
-            ctr = np.arange(1, 2 * half + 1, dtype=np.uint64) * _GOLD
-            words = _mix64(seeds[:, None] + ctr[None, :])
-            u = (words >> np.uint64(11)).astype(np.float64) * 2.0**-53
-            u1 = np.clip(u[:, :half], 1e-300, None)
-            u2 = u[:, half:]
-            r = np.sqrt(-2.0 * np.log(u1))
-            emb = np.concatenate(
-                [r * np.cos(2 * np.pi * u2), r * np.sin(2 * np.pi * u2)], axis=1
-            )[:, :emb_dim]
-            norms = np.linalg.norm(emb, axis=1, keepdims=True)
-            emb = emb / np.where(norms == 0, 1.0, norms)
+            emb = np.empty((n, emb_dim), dtype=np.float64)
+            stub_idx = []
             for i, p in enumerate(data):
                 if p[:2] == b"P6":
-                    _, _, pix, _ = _parse_ppm(p)
-                    emb[i] = _image_embedding(_bilinear_resize(pix, target_w, target_h), emb_dim)
+                    try:
+                        _, _, pix, _ = _parse_ppm(p)
+                        emb[i] = _image_embedding(
+                            _bilinear_resize(pix, target_w, target_h), emb_dim
+                        )
+                        continue
+                    except Exception:
+                        pass  # malformed despite the magic → digest fallback
+                stub_idx.append(i)
+            if stub_idx:
+                _, se = _stub_gauss([data[i] for i in stub_idx], emb_dim, offset=dims_off)
+                emb[stub_idx] = se
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].to_numpy(dtype=np.int64),
@@ -542,32 +574,34 @@ def extract_audio_features(
         for pdf in batches:
             data = [bytes(p) if p is not None else b"" for p in pdf[payload_col]]
             n = len(data)
-            # --- digest fallback (codec seam: torchaudio.load / ffprobe) ---
-            digests = b"".join(hashlib.md5(p).digest() for p in data)
-            raw = np.frombuffer(digests, dtype=np.uint8).reshape(n, 16)
-            rates = np.array([8000, 16000, 22050, 44100], dtype=np.int32)
-            sample_rate = rates[raw[:, 0] % 4]
-            duration = np.round(0.5 + (raw[:, 1].astype(np.float64) * 256 + raw[:, 2]) / 65535.0 * 29.5, 3)
-            seeds = raw[:, 2:10].copy().view(np.uint64).ravel() + _AUDIO_STRIDE
-            half = (emb_dim + 1) // 2
-            ctr = np.arange(1, 2 * half + 1, dtype=np.uint64) * _GOLD
-            words = _mix64(seeds[:, None] + ctr[None, :])
-            u = (words >> np.uint64(11)).astype(np.float64) * 2.0**-53
-            u1 = np.clip(u[:, :half], 1e-300, None)
-            u2 = u[:, half:]
-            r = np.sqrt(-2.0 * np.log(u1))
-            emb = np.concatenate(
-                [r * np.cos(2 * np.pi * u2), r * np.sin(2 * np.pi * u2)], axis=1
-            )[:, :emb_dim]
-            norms = np.linalg.norm(emb, axis=1, keepdims=True)
-            emb = emb / np.where(norms == 0, 1.0, norms)
-            # --- end fallback ---
+            sample_rate = np.empty(n, dtype=np.int32)
+            duration = np.empty(n, dtype=np.float64)
+            emb = np.empty((n, emb_dim), dtype=np.float64)
+            stub_idx = []
             for i, p in enumerate(data):
                 if p[:4] == b"RIFF":
-                    rate, samples = _parse_wav(p)
-                    sample_rate[i] = rate
-                    duration[i] = round(samples.size / rate, 6)
-                    emb[i] = _audio_embedding(samples, rate, emb_dim)
+                    try:
+                        rate, samples = _parse_wav(p)
+                        if rate <= 0:
+                            raise ValueError("non-positive sample rate")
+                        sample_rate[i] = rate
+                        duration[i] = round(samples.size / rate, 6)
+                        emb[i] = _audio_embedding(samples, rate, emb_dim)
+                        continue
+                    except Exception:
+                        pass  # malformed despite the magic → digest fallback
+                stub_idx.append(i)
+            if stub_idx:
+                # digest fallback (codec seam: torchaudio.load / ffprobe)
+                raw, se = _stub_gauss(
+                    [data[i] for i in stub_idx], emb_dim, offset=_AUDIO_STRIDE
+                )
+                rates = np.array([8000, 16000, 22050, 44100], dtype=np.int32)
+                sample_rate[stub_idx] = rates[raw[:, 0] % 4]
+                duration[stub_idx] = np.round(
+                    0.5 + (raw[:, 1].astype(np.float64) * 256 + raw[:, 2]) / 65535.0 * 29.5, 3
+                )
+                emb[stub_idx] = se
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].to_numpy(dtype=np.int64),

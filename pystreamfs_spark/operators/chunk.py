@@ -89,15 +89,29 @@ def pack_token_stream(
     bounds = chunks.agg(
         F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi")
     )
-    with_b = chunks.crossJoin(F.broadcast(bounds)).withColumn(
-        "__b",
+    # a NULL id has no position in the total order — it would sort into the
+    # NULL bucket, inflate every prefix, then vanish at the equi-join; fail
+    # fast instead (same ANSI-style contract as sampling.hash_bucket)
+    bucket = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                "pack_token_stream: NULL id - rows without an id cannot be "
+                "placed in the token stream; filter or coalesce the id "
+                "column first"
+            )
+        ).cast("int"),
+    ).otherwise(
         F.floor(
             (F.col(id_col) - F.col("__lo"))
             / F.greatest(
                 F.ceil((F.col("__hi") - F.col("__lo") + 1) / F.lit(n_buckets)), F.lit(1)
             )
-        ).cast("int"),
-    ).drop("__lo", "__hi")
+        ).cast("int")
+    )
+    with_b = (
+        chunks.crossJoin(F.broadcast(bounds)).withColumn("__b", bucket).drop("__lo", "__hi")
+    )
     w_in = (
         Window.partitionBy("__b")
         .orderBy(F.col(id_col), F.col(seq_col))

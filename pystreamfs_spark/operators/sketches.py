@@ -96,11 +96,14 @@ def kll_rollup(
     # the group's sketches are collected (a few KB each, group-count many)
     # and folded pairwise; bind the list to a column before the lambda
     out = gb.agg(F.collect_list(F.col(sketch_col)).alias("__sks"))
+    # try_element_at: an all-NULL-value group has an empty sketch list
+    # (collect_list drops NULLs) — merge to a NULL sketch instead of an
+    # ANSI INVALID_ARRAY_INDEX crash (Spark 4 ANSI mode is on)
     out = out.withColumn(
         sketch_col,
         F.aggregate(
             F.slice(F.col("__sks"), 2, F.greatest(F.size("__sks") - 1, F.lit(0))),
-            F.element_at(F.col("__sks"), 1),
+            F.try_element_at(F.col("__sks"), F.lit(1)),
             lambda acc, x: F.kll_sketch_merge_double(acc, x),
         ),
     ).drop("__sks")

@@ -37,8 +37,16 @@ def skew_audit(
         F.count(F.lit(1)).alias("n_keys"),
         F.max("n").alias("__n_max"),
     )
-    w = Window.orderBy(F.col("n").desc(), *[F.col(c).asc() for c in key_cols])
-    top = counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_n)
+    order = [F.col("n").desc(), *[F.col(c).asc() for c in key_cols]]
+    # orderBy+limit is a parallel TakeOrdered (per-partition top-N, merged
+    # on the driver) — a bare global rank window would funnel EVERY distinct
+    # key through one task, the exact failure this audit exists to prevent.
+    # The row_number window then runs over ≤ top_n rows only.
+    top = (
+        counts.orderBy(*order)
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    )
     return top.crossJoin(F.broadcast(totals)).select(
         *key_cols,
         "n",

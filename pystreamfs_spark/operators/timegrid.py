@@ -50,7 +50,11 @@ def resample_last(
         F.lit(None).cast("double").alias("__v"),
         F.lit(1).alias("__is_grid"),
     )
-    events = df.select(
+    # NULL-ts events are dropped: Spark orders NULLS FIRST ascending, so an
+    # unfiltered NULL instant would poison the carry from before the
+    # entity's first real event (and diverge from SQL engines that default
+    # NULLS LAST). A timestamp-less observation has no place on a time grid.
+    events = df.where(ep.isNotNull()).select(
         F.col(entity_col),
         ep.alias("__gt"),
         F.col(value_col).cast("double").alias("__v"),

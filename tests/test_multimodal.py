@@ -277,3 +277,34 @@ def test_decodable_media_mixed_corpus_end_to_end(spark):
     assert all(16 <= r.width <= 31 and 12 <= r.height <= 23 for r in real_imgs)
     for r in real_imgs:
         assert abs(np.linalg.norm(np.array(r.embedding)) - 1.0) < 1e-12
+
+
+def test_malformed_magic_payloads_fall_back_not_crash(spark):
+    """A payload that LOOKS like P6/RIFF but is truncated or corrupt must
+    degrade that row to the digest fallback — never fail the job (the
+    mixed-corpus contract, now including bad-magic bytes)."""
+    import numpy as np
+
+    from pystreamfs_spark.functions.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        resize_image_features,
+        sample_frame_features,
+    )
+
+    bad = [
+        (1, "image", bytearray(b"P6\n9999 9999\n255\nxx")),      # pixel count lies
+        (2, "image", bytearray(b"P6 truncated")),                 # header junk
+        (3, "video", bytearray(b"P6\nnot numbers\n")),            # unparsable header
+        (4, "audio", bytearray(b"RIFF\x04\x00\x00\x00JUNK")),     # RIFF, no WAVE
+        (5, "audio", bytearray(b"RIFF")),                         # bare magic
+    ]
+    d = spark.createDataFrame(bad, "media_id long, kind string, payload binary")
+    img = extract_image_features(d).collect()
+    rs = resize_image_features(d, 8, 8).collect()
+    fr = sample_frame_features(d, n_frames=2).collect()
+    au = extract_audio_features(d).collect()
+    assert len(img) == 5 and len(rs) == 5 and len(fr) == 10 and len(au) == 5
+    for rows in (img, rs, au):
+        for r in rows:
+            assert np.isfinite(np.array(r.embedding)).all()

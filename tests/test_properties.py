@@ -1,116 +1,113 @@
-"""Property-based invariants (hypothesis) over randomly generated corpora.
+"""Property-based tests (hypothesis) over the pure-NumPy kernels and the
+oracle — fast, Spark-free, and they pin the invariants the reference's
+semantics imply for ANY input."""
 
-Each example runs real Spark jobs, so example counts are kept small — the
-value is the generator exploring corpus shapes (dup densities, short docs,
-token repetition) that hand fixtures miss, pinned by invariants that must
-hold for EVERY corpus:
-
-- chunk_by_tokens is a partition of the token stream (lossless, ordered,
-  exact sizes);
-- hash_split is a partition of the corpus AND growth-stable (a row's split
-  never changes when the corpus grows);
-- banded SimHash (pigeonhole) and probe-expansion SimHash are two
-  independent plans for the same mathematical object — their pair sets
-  must be identical at the same d;
-- near_dedup emits every doc exactly once with min-label components and
-  one canonical doc per component.
-"""
-
-from __future__ import annotations
-
-import pytest
-from hypothesis import HealthCheck, given, settings
+import numpy as np
+from hypothesis import given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
+from hypothesis.extra.numpy import arrays
 
-WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+from pystreamfs_spark.kernels import init_state, select_top_m, update
+from pystreamfs_spark.kernels.efs import EFSState, efs_update
+from pystreamfs_spark.kernels.fsds import FSDSState, fsds_update
+from pystreamfs_spark.kernels.ofs import OFSState, ofs_update
 
-texts = st.lists(
-    st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(" ".join),
-    min_size=2,
-    max_size=12,
+from oracle_ref import fscr, simulate
+
+MAT = arrays(
+    np.float64,
+    shape=st.tuples(st.integers(2, 40), st.integers(2, 12)),
+    elements=st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False),
 )
 
-PROP = settings(
-    max_examples=5,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+
+def _labels(n, seed):
+    return (np.arange(n) * seed % 2).astype(np.float64)
+
+
+@settings(max_examples=25, deadline=None)
+@given(MAT, st.integers(1, 5), st.integers(1, 3))
+def test_ofs_truncation_invariant(X, keep, seed):
+    """After any OFS stream, nnz(w) ≤ num_features whenever an update fired
+    (the truncation rule, ofs.py:48), and w is always finite."""
+    y = _labels(len(X), seed)
+    st_, w = ofs_update(OFSState.init(X.shape[1], keep), X, y)
+    assert np.all(np.isfinite(w))
+    assert np.count_nonzero(w) <= max(keep, 0) or np.count_nonzero(w) == 0
+
+
+@settings(max_examples=25, deadline=None)
+@given(MAT, st.integers(1, 3))
+def test_efs_weights_nonnegative_finite(X, seed):
+    y = _labels(len(X), seed)
+    _, w = efs_update(EFSState.init(X.shape[1]), X, y)
+    assert np.all(w >= 0)
+    assert np.all(np.isfinite(w))
+
+
+@settings(max_examples=25, deadline=None)
+@given(MAT)
+def test_fsds_weights_nonnegative_finite(X):
+    m = X.shape[1]
+    k = 2 if int(np.sqrt(m)) >= 2 else 1  # FSDS contract: ell=⌈√m⌉ ≥ k
+    _, w = fsds_update(FSDSState.init(m, k=k), X, None)
+    assert w.shape == (X.shape[1],)
+    assert np.all(w >= 0)
+    assert np.all(np.isfinite(w))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(0, 9), min_size=1, max_size=5, unique=True),
+    st.lists(st.integers(0, 9), min_size=1, max_size=5, unique=True),
 )
+def test_fscr_bounds_and_identity(prev, cur):
+    n = max(len(prev), len(cur))
+    v = fscr(prev, cur, n)
+    assert 0.0 <= v <= 1.0
+    assert fscr(prev, prev, max(len(prev), 1)) == 0.0
 
 
-def _docs(spark, txts):
-    return spark.createDataFrame(list(enumerate(txts)), "doc_id bigint, text string")
+@settings(max_examples=15, deadline=None)
+@given(MAT, st.integers(2, 17), st.integers(1, 3))
+def test_oracle_windows_cover_stream(X, batch, seed):
+    """The oracle emits ceil(n/B) windows and selections of exactly m unique
+    indices — the shape contract every engine output is compared against."""
+    y = _labels(len(X), seed)
+    m_sel = min(3, X.shape[1])
+    out = simulate(X, y, kernel="ofs", batch_size=batch, num_features=m_sel)
+    assert len(out["w"]) == (len(X) + batch - 1) // batch
+    for sel in out["selected"]:
+        assert len(sel) == m_sel == len(set(sel))
 
 
-@PROP
-@given(txts=texts)
-def test_chunking_partitions_the_token_stream(spark, txts):
-    from pystreamfs_spark.functions.text import tokens
-    from pystreamfs_spark.operators.chunk import chunk_by_tokens
-
-    d = _docs(spark, txts)
-    chunks = chunk_by_tokens(d, chunk_size=4).collect()
-    toks = {r.doc_id: r.t for r in d.select("doc_id", tokens(F.col("text")).alias("t")).collect()}
-    by_doc: dict[int, list] = {}
-    for r in chunks:
-        by_doc.setdefault(r.doc_id, []).append(r)
-    for doc_id, rows in by_doc.items():
-        rows.sort(key=lambda r: r.chunk_id)
-        assert [r.chunk_id for r in rows] == list(range(len(rows)))
-        rebuilt = [t for r in rows for t in r.chunk_text.split(" ")]
-        assert rebuilt == toks[doc_id]  # lossless and ordered
-        assert all(r.n_tokens == 4 for r in rows[:-1])  # full chunks except tail
-        assert 1 <= rows[-1].n_tokens <= 4
-    assert set(by_doc) == set(toks)
+@settings(max_examples=25, deadline=None)
+@given(arrays(np.float64, st.integers(1, 30), elements=st.floats(-1e6, 1e6, allow_nan=False)), st.integers(1, 6))
+def test_select_top_m_is_topk_by_abs(w, m):
+    sel = select_top_m(w, m)
+    k = min(m, len(w))
+    assert len(sel) == k
+    chosen = sorted(np.abs(w)[sel], reverse=True)
+    rest = np.delete(np.abs(w), sel)
+    if len(rest):
+        assert chosen[-1] >= rest.max() - 0.0  # every chosen ≥ every unchosen
 
 
-@PROP
-@given(txts=texts, frac=st.sampled_from([0.5, 0.8, 0.98]))
-def test_hash_split_partitions_and_growth_stability(spark, txts, frac):
-    from pystreamfs_spark.operators.sampling import hash_split
+def test_fsds_rejects_ell_below_k():
+    import pytest
 
-    d = _docs(spark, txts)
-    fr = {"train": frac, "rest": round(1.0 - frac, 10)}
-    full = {r.doc_id: r.split for r in hash_split(d, key_col="doc_id", fractions=fr).collect()}
-    assert set(full) == set(range(len(txts)))  # a partition: every row, once
-    # growth stability: the same keys in a HALF corpus get the same split
-    half = d.where(F.col("doc_id") % 2 == 0)
-    sub = {r.doc_id: r.split for r in hash_split(half, key_col="doc_id", fractions=fr).collect()}
-    assert all(full[k] == v for k, v in sub.items())
+    with pytest.raises(ValueError, match="ell >= k"):
+        FSDSState.init(2, k=2)  # sqrt(2) → ell=1 < k
 
 
-@PROP
-@given(txts=texts)
-def test_simhash_banded_equals_probe_expansion(spark, txts):
-    from pystreamfs_spark.operators.dedup import (
-        simhash_banded_near_duplicates,
-        simhash_near_duplicates,
-    )
-
-    d = _docs(spark, txts)
-    probe = {(r.id_a, r.id_b, r.hamming) for r in simhash_near_duplicates(d, n_bits=16, d=2).collect()}
-    banded_rows = simhash_banded_near_duplicates(d, n_bits=16, d=2, n_bands=4).collect()
-    banded = {(r.id_a, r.id_b, r.hamming) for r in banded_rows}
-    assert len(banded_rows) == len(banded)  # exactly-once
-    assert banded == probe  # two plans, one mathematical object
-
-
-@PROP
-@given(txts=texts)
-def test_near_dedup_output_invariants(spark, txts):
-    from pystreamfs_spark.operators.dedup import near_dedup
-
-    d = _docs(spark, txts)
-    rows = near_dedup(d, n_bands=4, k=3, min_shared_bands=2).collect()
-    assert sorted(r.doc_id for r in rows) == list(range(len(txts)))  # each doc once
-    comp = {r.doc_id: r.component for r in rows}
-    for r in rows:
-        assert comp[r.component] == r.component  # components are min-labeled roots
-        assert r.component <= r.doc_id
-        assert r.is_canonical == (r.doc_id == r.component)
-    roots = {c for c in comp.values()}
-    assert sum(1 for r in rows if r.is_canonical) == len(roots)  # one keeper per cluster
-
-
-if __name__ == "__main__":
-    pytest.main([__file__, "-q"])
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 3))
+def test_kernel_registry_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(20, 6))
+    y = (rng.random(20) > 0.5).astype(float)
+    for name in ("ofs", "efs", "fsds", "mcnn", "cancelout"):
+        s = init_state(name, 6, num_features=3, **({"k": 2} if name == "fsds" else {}))
+        s, w = update(name, s, X, y)
+        assert w.shape == (6,)
+        assert np.all(np.isfinite(w))
