@@ -602,6 +602,8 @@ def test_near_dedup_with_audit_reports_cap_loss(spark):
     rows += [(10, "completely different words entirely here"), (11, "another unique document text")]
     d = spark.createDataFrame(rows, "doc_id bigint, text string")
 
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    n_cached_before = cache_mgr.cachedData().size()
     out, audit = near_dedup(
         d, n_bands=4, min_shared_bands=2, max_bucket_size=3, with_audit=True
     )
@@ -617,6 +619,15 @@ def test_near_dedup_with_audit_reports_cap_loss(spark):
     assert sum(1 for _, canon in got0.values() if canon) == 3
     assert {got0[i][0] for i in range(6)} == {0}
     assert audit0.first().n_buckets_dropped == 0
+
+    # the shared signature cache must be RELEASED before near_dedup returns:
+    # DataFrame.persist registers in the CacheManager and is NEVER GC'd (a
+    # true per-call leak on a long driver), unlike the CC rounds' transient
+    # localCheckpoint RDDs which the ContextCleaner releases on GC. Other
+    # tests' fixture caches may exist, so assert no GROWTH, not emptiness.
+    assert cache_mgr.cachedData().size() == n_cached_before, (
+        "a DataFrame persist leaked past near_dedup(with_audit=True)"
+    )
 
 
 def test_connected_components_hand_graph(spark):
