@@ -27,7 +27,10 @@ core count.
 
 Usage: python bench_scaling.py [n_convs]     # default 200k convs (~11.6M turns)
 Env:   SCALING_N_CORES (default 8 → pair 8 vs 32), SCALING_PAIRS (default 5),
-       SCALING_JOB (default fold_ofs), BENCH_REPEAT (default 3 per level-run).
+       SCALING_JOB (default fold_ofs), BENCH_REPEAT (default 3 per level-run),
+       SCALING_PARTITIONS_PER_CORE (default 1 — r04: each level runs
+       partitions = cores × this, the layout minimizing its own wall-clock;
+       explicit SPARK_GRAFT_SHUFFLE_PARTITIONS overrides both levels).
 Writes BENCH_SCALING.json (or BENCH_SCALING_<job>_<N>to<4N>.json) and prints
 the summary. QUIET BOX ONLY — any concurrent load poisons both levels.
 """
