@@ -461,21 +461,25 @@ def q_resample_grid(spark, sf_dir):
 
 def q_rank_leaderboard(spark, sf_dir):
     """Ranking-function breadth: rank / dense_rank / ntile(4) over each
-    nation's customer revenue. Order key is the 2dp-rounded revenue (sums
-    of 2-dec data — the FP-order-safe precedent) with custkey tiebreak, so
-    rank assignment is deterministic in both engines."""
+    nation's customer revenue. The order key is an EXACT BIGINT cent-sum
+    (o_totalprice is 2-decimal data, so ×100 rounds to an integer with no
+    FP ambiguity) — ADVICE r04: ordering by a rounded double would let one
+    FP-summation boundary hit flip integer ranks and shift every later
+    ntile bucket in the nation. The revenue value column is derived from
+    the same integer (cents/100.0), so the whole row is FP-order-proof."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("__cents")
     rev = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_custkey", "c_nationkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(cents)
     )
-    w = Window.partitionBy("c_nationkey").orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("__cents").desc(), F.col("c_custkey"))
     return rev.select(
         "c_custkey",
         "c_nationkey",
-        "revenue",
+        (F.col("__cents").cast("double") / F.lit(100.0)).alias("revenue"),
         F.rank().over(w).cast("int").alias("rk"),
         F.dense_rank().over(w).cast("int").alias("drk"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
@@ -985,29 +989,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rounds: entries hash-green in BOTH of the last two rounds are
         # eligible to rotate to the tail; any oracled entry whose last
         # driver row is older than one round rotates back into the window.
-        # r04 rotation: IN — dedup_pipeline, tfidf_top, hash_split,
-        # chunk_tokens, stratified_sample, pii_mask, cube_events (oracled,
-        # pytest-proven r03) + bm25_top (new, rows-only). OUT (all green in
-        # r02 AND r03) — sliding_2h, asof_join_broadcast, resized_features,
-        # multimodal_features, fsds_weights, efs_weights, mcnn_weights,
-        # cancelout_weights. ofs_weights/prequential_ofs stay as the §2
-        # kernel anchors.
+        # r05 rotation (executing the policy declared in r04): IN — the 8
+        # r04 oracled additions (simhash_banded_near, repetition_signals,
+        # decontaminate, resample_grid, rank_leaderboard, skew_audit,
+        # salted_agg, pack_stream; all three-scale DuckDB-proven locally)
+        # + sliding_2h and asof_join_broadcast (oracled, last driver row
+        # r03 — one-round-stale, must return) + the rows-only
+        # kll_quantiles and decoded_features (first driver slot). OUT (all
+        # hash-green in BOTH r03 AND r04) — strict_prefix, hourly,
+        # session_window, rollup_revenue, event_pivot, fscr_sql,
+        # nogueira_sql, lsh_ann, embedding_near_dups, dedup_components,
+        # simhash, and the rows-only bm25_top (r04-checked).
+        # ofs_weights/prequential_ofs stay as the §2 kernel anchors.
         "sessionize": q_sessionize,
         "count_windows": q_count_windows,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "rolling": q_rolling,
-        "strict_prefix": q_strict_prefix,
         "asof_join": q_asof_join,
         "session_stats": q_session_stats,
-        "hourly": q_hourly,
-        "session_window": q_session_window,
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
         "top_customers": q_top_customers,
         "value_quantiles": q_value_quantiles,
-        "rollup_revenue": q_rollup_revenue,
-        "event_pivot": q_event_pivot,
         "parts_never_ordered": q_parts_never_ordered,
         "daily_distinct_users": q_daily_distinct_users,
         "click_only_days": q_click_only_days,
@@ -1023,16 +1027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "dedup_audit": q_dedup_audit,
         "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
         "simhash_near": q_simhash_near,
         "embed_topk": q_embed_topk,
         "ivf_ann": q_ivf_ann,
-        "fscr_sql": q_fscr_sql,
-        "nogueira_sql": q_nogueira_sql,
-        "lsh_ann": q_lsh_ann,
-        "embedding_near_dups": q_embedding_near_dups,
-        "dedup_components": q_dedup_components,
-        # r03-proven oracled additions, rotated into the window this round
         "dedup_pipeline": q_dedup_pipeline,
         "tfidf_top": q_tfidf_top,
         "hash_split": q_hash_split,
@@ -1040,17 +1037,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pii_mask": q_pii_mask,
         "cube_events": q_cube_events,
-        # kernel folds / Arrow UDF ops — rows-only checks. The window holds
-        # 47 oracled queries + 3 rows-only (the §2 kernel anchors ofs_weights
-        # and prequential_ofs, plus the new bm25_top) = exactly 50 keys; the
-        # tail holds only entries already driver-proven in r02+r03 or twins
-        # of checked entries — see ROTATION POLICY at the top of this dict.
-        "ofs_weights": _fold_query("ofs", {}),
-        "prequential_ofs": q_prequential_ofs,
-        "bm25_top": q_bm25_top,  # rows-only: ln-idf is transcendental
-        # ---- driver-window boundary (50 keys above) ----
+        # rotated into the window this round per the policy above
         "sliding_2h": q_sliding_2h,
         "asof_join_broadcast": q_asof_join_broadcast,
+        "simhash_banded_near": q_simhash_banded_near,
+        "repetition_signals": q_repetition,
+        "decontaminate": q_decontam,
+        "resample_grid": q_resample_grid,
+        "rank_leaderboard": q_rank_leaderboard,
+        "skew_audit": q_skew_audit,
+        "salted_agg": q_salted_agg,
+        "pack_stream": q_pack_stream,
+        # rows-only window entries: the §2 kernel anchors + first driver
+        # slots for the two r04 rows-only additions. Window = 46 oracled +
+        # 4 rows-only = exactly 50 keys; the tail holds only entries
+        # driver-proven in at least one of the last two rounds or twins of
+        # checked entries — see ROTATION POLICY at the top of this dict.
+        "ofs_weights": _fold_query("ofs", {}),
+        "prequential_ofs": q_prequential_ofs,
+        "kll_quantiles": q_kll_quantiles,  # rows-only: randomized sketch compaction
+        "decoded_features": q_decoded_features,  # rows-only: real P6 decode
+        # ---- driver-window boundary (50 keys above) ----
+        "strict_prefix": q_strict_prefix,
+        "hourly": q_hourly,
+        "session_window": q_session_window,
+        "rollup_revenue": q_rollup_revenue,
+        "event_pivot": q_event_pivot,
+        "fscr_sql": q_fscr_sql,
+        "nogueira_sql": q_nogueira_sql,
+        "lsh_ann": q_lsh_ann,
+        "embedding_near_dups": q_embedding_near_dups,
+        "dedup_components": q_dedup_components,
+        "simhash": q_simhash,
+        "bm25_top": q_bm25_top,  # rows-only: ln-idf is transcendental
         "resized_features": q_resized_features,
         "multimodal_features": q_multimodal_features,
         "fsds_weights": _fold_query("fsds", {"k": 2, "ell": 0}),
@@ -1064,17 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nogueira_kernel": q_nogueira_kernel,
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
-        "simhash_banded_near": q_simhash_banded_near,  # oracled; rotates into the r05 window
-        "repetition_signals": q_repetition,  # oracled; rotates into the r05 window
-        "decontaminate": q_decontam,  # oracled; rotates into the r05 window
-        "decoded_features": q_decoded_features,  # rows-only: real P6 decode
-        "resample_grid": q_resample_grid,  # oracled; rotates into the r05 window
-        "rank_leaderboard": q_rank_leaderboard,  # oracled; rotates into the r05 window
         "sketch_rollup": q_sketch_rollup,  # rows-only: engine-specific HLL estimates
-        "skew_audit": q_skew_audit,  # oracled; rotates into the r05 window
-        "pack_stream": q_pack_stream,  # oracled; rotates into the r05 window
-        "salted_agg": q_salted_agg,  # oracled; rotates into the r05 window
-        "kll_quantiles": q_kll_quantiles,  # rows-only: randomized sketch compaction
     }
 
 
@@ -1627,15 +1636,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rank_leaderboard": """
             WITH rev AS (
-              SELECT c_custkey, c_nationkey, ROUND(SUM(o_totalprice), 2) AS revenue
+              SELECT c_custkey, c_nationkey,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY 1, 2)
-            SELECT c_custkey, c_nationkey, revenue,
+            SELECT c_custkey, c_nationkey,
+                   CAST(cents AS DOUBLE) / 100.0 AS revenue,
                    CAST(RANK() OVER w AS INT) AS rk,
                    CAST(DENSE_RANK() OVER w AS INT) AS drk,
                    CAST(NTILE(4) OVER w AS INT) AS quartile
             FROM rev
-            WINDOW w AS (PARTITION BY c_nationkey ORDER BY revenue DESC, c_custkey)
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY cents DESC, c_custkey)
         """,
         "decontaminate": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

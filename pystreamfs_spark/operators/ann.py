@@ -195,25 +195,35 @@ def kmeans_centroids(
             )
             if inertia_log is not None:
                 assigned = assigned.persist()
-            means = (
-                assigned.select("cell", F.posexplode(F.col(vec_col).cast("array<double>")))
-                .groupBy("cell", "pos")
-                .agg(F.avg("col").alias("m"))
-                .groupBy("cell")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                    ).alias("__cv")
+            try:
+                means = (
+                    assigned.select(
+                        "cell", F.posexplode(F.col(vec_col).cast("array<double>"))
+                    )
+                    .groupBy("cell", "pos")
+                    .agg(F.avg("col").alias("m"))
+                    .groupBy("cell")
+                    .agg(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                            lambda s: s["m"],
+                        ).alias("__cv")
+                    )
                 )
-            )
-            new = {int(r["cell"]): [float(x) for x in r["__cv"]] for r in means.collect()}
-            if inertia_log is not None:
-                v = assigned.agg(F.sum(1.0 - F.col("__sim"))).first()[0]
-                # v is None only if assigned is empty, which the empty-train
-                # ValueError above already precludes; guard anyway so a
-                # future code path degrades to NaN instead of a TypeError
-                inertia_log.append(float(v) if v is not None else float("nan"))
-                assigned.unpersist()
+                new = {int(r["cell"]): [float(x) for x in r["__cv"]] for r in means.collect()}
+                if inertia_log is not None:
+                    v = assigned.agg(F.sum(1.0 - F.col("__sim"))).first()[0]
+                    # v is None only if assigned is empty, which the empty-train
+                    # ValueError above already precludes; guard anyway so a
+                    # future code path degrades to NaN instead of a TypeError
+                    inertia_log.append(float(v) if v is not None else float("nan"))
+            finally:
+                # unpersist on the error path too — a mid-iteration collect()
+                # failure must not leak the cached frame into the CacheManager
+                # for the driver's lifetime (same leak class the near_dedup
+                # audit regression test guards against)
+                if inertia_log is not None:
+                    assigned.unpersist()
             cent_rows = [(c, new.get(c, v)) for c, v in cent_rows]  # empty cell → keep old
     finally:
         train.unpersist()

@@ -35,6 +35,11 @@ def resample_last(
 
     Output: (entity, grid_ts timestamp, v_last double).
     """
+    if int(interval_s) < 1:
+        # fail fast with a contract error instead of an opaque F.sequence
+        # step-of-zero runtime failure deep inside the grid job (same
+        # convention as pack_token_stream's context_len validation)
+        raise ValueError(f"resample_last: interval_s must be >= 1, got {interval_s}")
     ep = F.unix_timestamp(F.col(ts_col))
     step = F.lit(int(interval_s))
     bounds = df.groupBy(entity_col).agg(
