@@ -573,6 +573,16 @@ def q_decontam(spark, sf_dir):
     return decontaminate(d, bench, n=5, min_overlap=1)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022): maximal duplicated 5-token
+    spans over the documents corpus. All-integer output (0-based token
+    indices), so the DuckDB compare is exact — the oracle rebuilds the
+    k-gram seed + gaps-and-islands construction in SQL."""
+    from pystreamfs_spark.operators.substr import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), k=5, min_count=2)
+
+
 def q_simhash(spark, sf_dir):
     from pystreamfs_spark.operators.dedup import simhash
 
@@ -999,14 +1009,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-green in BOTH r03 AND r04) — strict_prefix, hourly,
         # session_window, rollup_revenue, event_pivot, fscr_sql,
         # nogueira_sql, lsh_ann, embedding_near_dups, dedup_components,
-        # simhash, and the rows-only bm25_top (r04-checked).
+        # simhash, asof_join (displaced by the NEW oracled dup_spans so the
+        # new operator gets an immediate driver row), and the rows-only
+        # bm25_top (r04-checked).
         # ofs_weights/prequential_ofs stay as the §2 kernel anchors.
         "sessionize": q_sessionize,
         "count_windows": q_count_windows,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "rolling": q_rolling,
-        "asof_join": q_asof_join,
         "session_stats": q_session_stats,
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
@@ -1048,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_audit": q_skew_audit,
         "salted_agg": q_salted_agg,
         "pack_stream": q_pack_stream,
+        "dup_spans": q_dup_spans,  # NEW r05: exact-substring dedup, oracled
         # rows-only window entries: the §2 kernel anchors + first driver
         # slots for the two r04 rows-only additions. Window = 46 oracled +
         # 4 rows-only = exactly 50 keys; the tail holds only entries
@@ -1058,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": q_kll_quantiles,  # rows-only: randomized sketch compaction
         "decoded_features": q_decoded_features,  # rows-only: real P6 decode
         # ---- driver-window boundary (50 keys above) ----
+        "asof_join": q_asof_join,
         "strict_prefix": q_strict_prefix,
         "hourly": q_hourly,
         "session_window": q_session_window,
@@ -1647,6 +1660,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(4) OVER w AS INT) AS quartile
             FROM rev
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY cents DESC, c_custkey)
+        """,
+        # exact-substring dedup: positional 5-grams via parallel unnest
+        # (DuckDB zips equal-length list comprehensions), seed positions =
+        # grams occurring >= 2x corpus-wide, maximal runs via the
+        # pos - row_number() gaps-and-islands grouping — the same
+        # construction as operators/substr.py, all-integer so exact.
+        "dup_spans": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            pg AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(t) >= 5
+                            THEN [i - 1 for i in range(1, len(t) - 3)]
+                            ELSE [] END) AS pos,
+                     unnest(CASE WHEN len(t) >= 5
+                            THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                                  for i in range(1, len(t) - 3)]
+                            ELSE [] END) AS gram
+              FROM toks),
+            d AS (SELECT gram FROM pg GROUP BY gram HAVING COUNT(*) >= 2),
+            s AS (SELECT pg.doc_id, pg.pos FROM pg JOIN d USING (gram)),
+            r AS (SELECT doc_id, pos,
+                         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                  FROM s)
+            SELECT doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+                   CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM r GROUP BY doc_id, grp
         """,
         "decontaminate": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

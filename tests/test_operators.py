@@ -944,3 +944,106 @@ def test_connected_components_random_vs_union_find(spark):
         e = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
         got = {r.id: r.component for r in connected_components(e).collect()}
         assert got == want, f"trial {trial}"
+
+
+def test_duplicate_spans_planted_and_strip(spark):
+    """Exact-substring dedup (Lee et al. 2022 style): planted shared and
+    within-doc duplicate spans produce exactly the expected maximal runs,
+    and stripping removes exactly those tokens."""
+    from pystreamfs_spark.operators.substr import duplicate_spans, strip_duplicate_spans
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "XX yy alpha beta gamma delta epsilon zeta END token"),  # shares 6 tokens w/ 0
+        (2, "one two three four five six seven eight"),  # unique
+        (3, "rep rep rep rep rep rep tail word here now"),  # within-doc repeat
+        (4, "tiny doc"),  # shorter than k: no grams, no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.doc_id, r.span_start): (r.span_end, r.span_tokens, r.n_grams)
+        for r in duplicate_spans(df, k=4, min_count=2).collect()
+    }
+    assert got == {(0, 0): (5, 6, 3), (1, 2): (7, 6, 3), (3, 0): (5, 6, 3)}
+
+    # cross_doc_only exempts doc 3's within-document repetition
+    xd = {r.doc_id for r in duplicate_spans(df, k=4, cross_doc_only=True).collect()}
+    assert xd == {0, 1}
+
+    st = {r.doc_id: r for r in strip_duplicate_spans(df, k=4, min_count=2).collect()}
+    assert st[0].text_clean == "eta theta iota kappa"
+    assert st[1].text_clean == "xx yy end token"
+    assert st[3].text_clean == "tail word here now"
+    assert st[2].n_tokens_removed == 0 and st[4].n_tokens_removed == 0
+    for r in st.values():  # removal accounting is exact
+        assert r.n_tokens - r.n_tokens_removed == len(
+            r.text_clean.split()
+        ) if r.text_clean else r.n_tokens == r.n_tokens_removed
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        duplicate_spans(df, k=1)
+    with _pt.raises(ValueError):
+        duplicate_spans(df, k=4, min_count=1)
+
+
+def test_duplicate_spans_bruteforce_parity(spark):
+    """Engine spans == a pure-Python suffix-style oracle on a random corpus
+    with planted repeats, for both scopes and for hash_grams=True."""
+    import random
+
+    from pystreamfs_spark.operators.substr import duplicate_spans
+
+    rnd = random.Random(77)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    shared = [rnd.choice(vocab) for _ in range(9)]  # planted cross-doc span
+    for d in range(30):
+        toks = [rnd.choice(vocab) for _ in range(rnd.randrange(3, 60))]
+        if d % 4 == 0:
+            at = rnd.randrange(0, len(toks) + 1)
+            toks[at:at] = shared
+        docs.append((d, " ".join(toks)))
+    k = 5
+
+    def oracle(cross_doc_only):
+        from collections import Counter, defaultdict
+
+        occ = Counter()
+        docset = defaultdict(set)
+        tok = {d: t.split() for d, t in docs}
+        for d, t in tok.items():
+            for i in range(len(t) - k + 1):
+                g = " ".join(t[i : i + k])
+                occ[g] += 1
+                docset[g].add(d)
+        want = set()
+        for d, t in tok.items():
+            seeds = [
+                i
+                for i in range(len(t) - k + 1)
+                if (len(docset[" ".join(t[i : i + k])]) >= 2 if cross_doc_only
+                    else occ[" ".join(t[i : i + k])] >= 2)
+            ]
+            run = []
+            for i in seeds + [None]:
+                if run and (i is None or i != run[-1] + 1):
+                    want.add((d, run[0], run[-1] + k - 1, run[-1] - run[0] + k, len(run)))
+                    run = []
+                if i is not None:
+                    run.append(i)
+        return want
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    for cross in (False, True):
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+            for r in duplicate_spans(df, k=k, cross_doc_only=cross).collect()
+        }
+        assert got == oracle(cross), f"cross_doc_only={cross}"
+    hashed = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+        for r in duplicate_spans(df, k=k, hash_grams=True).collect()
+    }
+    assert hashed == oracle(False)  # xxhash64 collision-free at this size
