@@ -99,6 +99,68 @@ def repetition_signals(
     )
 
 
+def repetition_signals_rowwise(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Row-wise twin of :func:`repetition_signals`: the SAME four Gopher
+    fractions computed as pure per-row array expressions — no explode, no
+    shuffle, no state. Every count is within-document, so the grouped plan's
+    corpus-wide shuffle is pure overhead when the input arrives one document
+    at a time; this form runs unchanged on a STREAMING DataFrame (it is the
+    ingest-time quality gate ``streaming.adapter.stream_quality_signals``
+    wraps) and on a batch frame when docs are small enough that the
+    O(distinct×n) per-row token scan beats a shuffle.
+
+    Outputs are ratios of the identical exact integers the grouped operator
+    produces, so the two plans are bit-identical per document (asserted in
+    tests). Prefer the grouped :func:`repetition_signals` for batch jobs
+    with pathological single documents (the HOF scan is quadratic in the
+    worst case); prefer this form for streams and map-only pipelines."""
+    t = tokens(F.col(text_col))
+    g = F.when(F.size(t) >= k, shingles_from_tokens(t, k)).otherwise(
+        F.array().cast("array<string>")
+    )
+    # bind arrays (and their distinct projections) to real columns before
+    # the counting lambdas touch them — Catalyst re-evaluates expression
+    # trees once per reference (see text.shingles_from_tokens)
+    bound = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        g.alias("__g"),
+        F.array_distinct(t).alias("__td"),
+        F.array_distinct(g).alias("__gd"),
+    )
+
+    def top_count(arr, dis):
+        # occurrences of the most frequent element: max over distinct
+        # elements of that element's count
+        return F.coalesce(
+            F.array_max(
+                F.transform(dis, lambda x: F.size(F.filter(arr, lambda y: y == x)))
+            ),
+            F.lit(0),
+        ).cast("long")
+
+    def frac(num, den):
+        return F.coalesce(
+            num.cast("double") / F.nullif(den, F.lit(0)).cast("double"), F.lit(0.0)
+        )
+
+    n_tok = F.size("__t").cast("long")
+    n_gram = F.size("__g").cast("long")
+    return bound.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        frac(top_count(F.col("__t"), F.col("__td")), n_tok).alias("top_token_frac"),
+        frac(n_tok - F.size("__td"), n_tok).alias("dup_token_frac"),
+        frac(top_count(F.col("__g"), F.col("__gd")), n_gram).alias("top_kgram_frac"),
+        frac(n_gram - F.size("__gd"), n_gram).alias("dup_kgram_frac"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -76,6 +76,7 @@ def salted_agg(
     aggs: dict[str, tuple],
     id_col: str,
     n_salts: int = 16,
+    verify_sample: float | None = None,
 ) -> DataFrame:
     """Two-phase aggregation over a skewed key: phase 1 groups by
     (key, salt) — the hot key's rows split across ``n_salts`` tasks —
@@ -89,11 +90,55 @@ def salted_agg(
     does map-side partial aggregation; use this form when the partial
     state itself is per-key heavy (distinct sub-key counts, collect-style
     states) or when a downstream window/group would pin the hot key into
-    one task."""
+    one task.
+
+    ``verify_sample``: debug guard against a WRONG decomposition (which
+    would otherwise silently produce wrong numbers — ADVICE r04). Pass a
+    key-sampling fraction (e.g. 0.05) and the call EAGERLY runs the plain
+    one-shot ``groupBy(keys).agg(partial_fn)`` on a deterministic
+    hash-sampled key subset, compares it to the salted result on those
+    keys (1e-6 relative tolerance — two-phase float sums differ from
+    one-shot by FP ordering only), and raises ``ValueError`` on mismatch.
+    Costs two extra jobs over the sampled keys; leave ``None`` in
+    production plans."""
     salted = df.withColumn("__salt", salt_key(F.col(id_col), n_salts))
     phase1 = salted.groupBy(*key_cols, "__salt").agg(
         *[pf(F.col(src)).alias(out) for out, (pf, _mf, src) in aggs.items()]
     )
-    return phase1.groupBy(*key_cols).agg(
+    result = phase1.groupBy(*key_cols).agg(
         *[mf(F.col(out)).alias(out) for out, (_pf, mf, _src) in aggs.items()]
     )
+    if verify_sample is not None:
+        if not 0.0 < verify_sample <= 1.0:
+            raise ValueError(
+                f"salted_agg: verify_sample must be in (0, 1], got {verify_sample}"
+            )
+        m = max(1, int(round(1.0 / verify_sample)))
+        in_sample = (
+            F.pmod(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(0x7E57)), F.lit(m))
+            == 0
+        )
+        direct = (
+            df.where(in_sample)
+            .groupBy(*key_cols)
+            .agg(*[pf(F.col(src)).alias(out) for out, (pf, _mf, src) in aggs.items()])
+        )
+        joined = direct.alias("d").join(result.where(in_sample).alias("s"), key_cols, "full_outer")
+        mismatch = F.lit(False)
+        for out in aggs:
+            dcol, scol = F.col(f"d.{out}"), F.col(f"s.{out}")
+            tol_ok = (
+                F.abs(dcol.cast("double") - scol.cast("double"))
+                <= F.lit(1e-6)
+                * F.greatest(F.abs(dcol.cast("double")), F.abs(scol.cast("double")), F.lit(1.0))
+            )
+            mismatch = mismatch | ~(dcol.eqNullSafe(scol) | F.coalesce(tol_ok, F.lit(False)))
+        bad = joined.where(mismatch).limit(1).collect()
+        if bad:
+            raise ValueError(
+                "salted_agg: decomposition failed identity check on sampled keys "
+                f"(first offending row: {bad[0].asDict()}). The (partial_fn, "
+                "merge_fn) pair in `aggs` is not a valid algebraic split of the "
+                "intended aggregate."
+            )
+    return result

@@ -260,6 +260,25 @@ def stream_session_stats(
     )
 
 
+def stream_quality_signals(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Ingest-time Gopher repetition-quality gate — the streaming twin of
+    ``operators.quality.repetition_signals``. All four fractions are
+    within-document, so the streaming form is completely STATELESS: one
+    map-only pass of array expressions per arriving document, no watermark,
+    no GroupState, no shuffle — per-document output is bit-identical to the
+    batch grouped operator (parity asserted in tests). Filter on the
+    emitted fractions (e.g. ``top_kgram_frac <= 0.2``) to drop low-quality
+    documents before they ever land."""
+    from pystreamfs_spark.operators.quality import repetition_signals_rowwise
+
+    return repetition_signals_rowwise(stream_df, text_col=text_col, id_col=id_col, k=k)
+
+
 def stream_exact_dedup(
     stream_df: DataFrame,
     text_col: str = "text",

@@ -1047,3 +1047,32 @@ def test_duplicate_spans_bruteforce_parity(spark):
         for r in duplicate_spans(df, k=k, hash_grams=True).collect()
     }
     assert hashed == oracle(False)  # xxhash64 collision-free at this size
+
+
+def test_salted_agg_verify_sample_catches_wrong_merge(spark):
+    """verify_sample must accept a valid decomposition and raise on an
+    invalid one (ADVICE r04: a wrong merge fn silently corrupts results)."""
+    from pyspark.sql import functions as F
+
+    from pystreamfs_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 3 else f"k{i % 7}", float(i % 11)) for i in range(500)],
+        "event_id bigint, k string, v double",
+    )
+    good = {"n": (F.count, F.sum, "v"), "v_sum": (F.sum, F.sum, "v"),
+            "v_max": (F.max, F.max, "v")}
+    out = salted_agg(df, ["k"], good, id_col="event_id", n_salts=8, verify_sample=1.0)
+    direct = {r.k: (r.n, r.v_sum, r.v_max) for r in df.groupBy("k").agg(
+        F.count("v").alias("n"), F.sum("v").alias("v_sum"), F.max("v").alias("v_max")
+    ).collect()}
+    got = {r.k: (r.n, round(r.v_sum, 6), r.v_max) for r in out.collect()}
+    assert got == {k: (n, round(s, 6), m) for k, (n, s, m) in direct.items()}
+
+    import pytest as _pt
+
+    bad = {"n": (F.count, F.max, "v")}  # count partials must SUM, not MAX
+    with _pt.raises(ValueError, match="identity check"):
+        salted_agg(df, ["k"], bad, id_col="event_id", n_salts=8, verify_sample=1.0)
+    with _pt.raises(ValueError, match="verify_sample"):
+        salted_agg(df, ["k"], good, id_col="event_id", verify_sample=0.0)

@@ -275,3 +275,60 @@ def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
     )
     batch_fps = {r.fp for r in exact_dedup(batch_df).collect()}
     assert set(fps) == batch_fps
+
+
+def test_stream_quality_signals_matches_batch(spark, sf_dir, tmp_path):
+    """Ingest-time repetition gate: the stateless streaming pass must be
+    bit-identical per document to the batch grouped operator, and the
+    rowwise plan must equal the grouped plan on batch frames too (they
+    share the exact integer counts)."""
+    import time as _time
+
+    from pystreamfs_spark.operators.quality import (
+        repetition_signals,
+        repetition_signals_rowwise,
+    )
+    from pystreamfs_spark.streaming.adapter import stream_quality_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # edge rows the grouped/rowwise twins must agree on: short doc (< k
+    # tokens), single-token doc, repeated-token doc
+    extra = spark.createDataFrame(
+        [(900001, "tiny doc"), (900002, "one"), (900003, "rep rep rep rep rep")],
+        "doc_id bigint, text string",
+    )
+    docs = docs.unionByName(extra)
+
+    def key(rows):
+        return {
+            r.doc_id: (
+                r.n_tokens,
+                r.top_token_frac,
+                r.dup_token_frac,
+                r.top_kgram_frac,
+                r.dup_kgram_frac,
+            )
+            for r in rows
+        }
+
+    batch = key(repetition_signals(docs, k=3).collect())
+    rowwise = key(repetition_signals_rowwise(docs, k=3).collect())
+    assert rowwise == batch  # bit-identical, not allclose
+
+    src = str(tmp_path / "qsrc")
+    docs.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_quality_signals(stream, k=3)
+        .writeStream.format("memory")
+        .queryName(f"qsig_{int(_time.time() * 1000)}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = key(spark.sql(f"select * from {q.name}").collect())
+    assert streamed == batch
