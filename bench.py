@@ -146,6 +146,56 @@ def main() -> None:
         docs = transcripts.select(F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text")
         return chunk_by_tokens(docs, chunk_size=32).count()
 
+    # --- skewed-key aggregation: the salting win, measured (VERDICT r04 #3).
+    # Workload: per-key exact distinct (collect_set) with one key holding 30%
+    # of rows and near-unique string sub-keys — the per-key-heavy partial
+    # state salted_agg documents as its use case. Catalyst's map-side partial
+    # aggregation does NOT save the direct plan here: every hot-key element
+    # still funnels through ONE final-merge task, while the salted plan
+    # splits that merge across n_salts tasks and reduces per-salt sets to
+    # counts before the (tiny) second shuffle. The salt is derived from the
+    # sub-key, so per-salt distinct counts sum exactly (identity is the
+    # salted_agg driver oracle). NOTE: a bare `.count()` on the aggregate
+    # would let the optimizer DROP the collect_set entirely — the sum over
+    # sizes forces it.
+    n_skew = int(os.environ.get("BENCH_SKEW_ROWS", str(max(200_000, int(120_000_000 * sf)))))
+    _skew_cache: list = []
+
+    def _skew_frame():
+        if not _skew_cache:
+            sk = spark.range(n_skew).select(
+                F.col("id").alias("event_id"),
+                F.when(F.pmod("id", F.lit(10)) < 3, F.lit("hot"))
+                .otherwise(F.concat(F.lit("k"), F.pmod("id", F.lit(997)).cast("string")))
+                .alias("k"),
+                F.md5(F.col("id").cast("string")).alias("user"),
+            ).cache()
+            sk.count()
+            _skew_cache.append(sk)
+        return _skew_cache[0]
+
+    def skew_direct_run() -> int:
+        sk = _skew_frame()
+        return (
+            sk.groupBy("k")
+            .agg(F.size(F.collect_set("user")).alias("u"))
+            .agg(F.sum("u"))
+            .collect()[0][0]
+        )
+
+    def skew_salted_run() -> int:
+        from pystreamfs_spark.operators.skew import salted_agg
+
+        sk = _skew_frame()
+        out = salted_agg(
+            sk,
+            ["k"],
+            {"u": (F.collect_set, lambda c: F.sum(F.size(c)), "user")},
+            id_col="user",  # salt on the DISTINCT sub-key: counts sum exactly
+            n_salts=64,
+        )
+        return out.agg(F.sum("u")).collect()[0][0]
+
     def cc_dedup_run() -> int:
         # pairs → clusters: SimHash candidates + connected components over
         # the sf documents corpus (the full canonicalization pipeline)
@@ -194,6 +244,11 @@ def main() -> None:
         # r04: gap-fill resample over the full events table; sketch rollup
         "resample_grid": lambda: entry_queries["resample_grid"](spark, sf_dir).count(),
         "sketch_rollup": lambda: entry_queries["sketch_rollup"](spark, sf_dir).count(),
+        # r05: exact-substring dedup over the sf documents corpus
+        "dup_spans": lambda: entry_queries["dup_spans"](spark, sf_dir).count(),
+        # r05: the hot-key pair — same job direct vs salted (scale-stress)
+        "skew_direct": skew_direct_run,
+        "skew_salted": skew_salted_run,
     }
     if only is not None:
         suite = {k: v for k, v in suite.items() if k in only}
@@ -227,7 +282,7 @@ def main() -> None:
     # scale-stress entries run deliberately oversized inputs (minhash_scale:
     # 2.3M texts; prequential: O(T²) refits) — report the total with and
     # without them so round-over-round diffs compare like with like
-    stress = {"minhash_scale", "prequential"}
+    stress = {"minhash_scale", "prequential", "skew_direct", "skew_salted"}
     core_total = round(sum(v for k, v in timings.items() if k not in stress), 3)
     fold_sec = timings.get("fold_ofs")
     result = {
@@ -241,6 +296,11 @@ def main() -> None:
         "fold_rows": n_turns,
         "fold_rows_per_sec": round(n_turns / fold_sec, 1) if fold_sec else None,
     }
+    if timings.get("skew_salted"):
+        result["skew_salting_speedup"] = round(
+            timings["skew_direct"] / timings["skew_salted"], 2
+        )
+        result["skew_rows"] = n_skew
     spark.stop()
     print(json.dumps(result))
 
