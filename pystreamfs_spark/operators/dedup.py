@@ -195,11 +195,21 @@ def minhash_bucket_audit(
     max_bucket_size: int | None = None,
     hash_fn: str = "md5",
     signatures: DataFrame | None = None,
+    with_skew: bool = False,
 ) -> DataFrame:
     """Recall-loss audit for :func:`minhash_lsh_candidates`'s
     ``max_bucket_size`` cap: one row of aggregate bucket statistics, with
     ``est_pairs_dropped`` = Σ n·(n−1)/2 over dropped buckets — the number of
     candidate pairs the cap silently removed.
+
+    ``with_skew=True`` appends the band-join-key skew statistics (the
+    :mod:`operators.skew` ``skew_factor`` definition applied to the LSH
+    bucket key): ``n_postings`` = Σ bucket sizes and ``bucket_skew_factor``
+    = max_bucket · n_buckets / n_postings (1.0 = uniform buckets). Same
+    single agg over the same sizes frame — skew costs nothing extra and is
+    the fact that sizes both remedy knobs (the cap here, AQE skew-join /
+    salting downstream). Off by default so the audited schema the driver
+    oracle checks is unchanged.
 
     At 100 TB pass ``signatures`` — a persisted/materialized output of
     :func:`minhash_signatures` shared with the candidate job — so the audit
@@ -214,7 +224,7 @@ def minhash_bucket_audit(
     sizes = sig.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n"))
     cap = F.lit(max_bucket_size) if max_bucket_size is not None else None
     dropped = (F.col("n") > cap) if cap is not None else F.lit(False)
-    return sizes.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(dropped.cast("bigint")).alias("n_buckets_dropped"),
         F.sum(F.when(dropped, F.col("n")).otherwise(F.lit(0))).alias("n_postings_dropped"),
@@ -222,7 +232,18 @@ def minhash_bucket_audit(
             F.when(dropped, F.col("n") * (F.col("n") - 1) / 2).otherwise(F.lit(0.0))
         ).cast("bigint").alias("est_pairs_dropped"),
         F.max("n").alias("max_bucket"),
-    )
+    ]
+    if with_skew:
+        aggs.append(F.sum("n").alias("n_postings"))
+    out = sizes.agg(*aggs)
+    if with_skew:
+        out = out.withColumn(
+            "bucket_skew_factor",
+            F.col("max_bucket").cast("double")
+            * F.col("n_buckets").cast("double")
+            / F.col("n_postings").cast("double"),
+        )
+    return out
 
 
 def stop_shingle_audit(
@@ -336,7 +357,10 @@ def near_dedup(
 
     ``with_audit=True`` returns ``(dedup_df, audit_df)`` where the audit is
     the one-row :func:`minhash_bucket_audit` for this run's
-    ``max_bucket_size`` cap — the pipeline reporting its own recall loss.
+    ``max_bucket_size`` cap — the pipeline reporting its own recall loss —
+    extended (``with_skew``) with the band-key skew statistics, so one pass
+    reports BOTH facts a scale operator needs: how much recall the cap cost
+    and how hot the LSH join key runs.
     The audit REUSES this pass's signature DataFrame (persisted here so the
     dominant shingle+minhash computation runs once and both consumers read
     the materialized rows — the composition the audit docstring prescribes
@@ -365,7 +389,8 @@ def near_dedup(
         if not with_audit:
             return out
         audit = minhash_bucket_audit(
-            df, text_col, id_col, n_bands, k, band_r, max_bucket_size, hash_fn, signatures=sig
+            df, text_col, id_col, n_bands, k, band_r, max_bucket_size, hash_fn,
+            signatures=sig, with_skew=True,
         )
         # the audit is ONE row — materialize it into a local DataFrame so the
         # persisted signatures have no remaining consumers

@@ -610,6 +610,10 @@ def test_near_dedup_with_audit_reports_cap_loss(spark):
     a = audit.first()
     assert a.n_buckets_dropped == 4
     assert a.est_pairs_dropped == 4 * (6 * 5 // 2)
+    # r05: the pipeline audit also reports band-key skew from the same agg —
+    # skew_factor must equal max_bucket * n_buckets / n_postings exactly
+    assert a.n_postings > 0 and a.max_bucket == 6
+    assert a.bucket_skew_factor == a.max_bucket * a.n_buckets / a.n_postings
     got = {r.doc_id: (r.component, r.is_canonical) for r in out.collect()}
     assert all(canon for _, canon in got.values())  # cap killed every pair
 
