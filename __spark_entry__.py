@@ -583,6 +583,15 @@ def q_dup_spans(spark, sf_dir):
     return duplicate_spans(_t(spark, sf_dir, "documents"), k=5, min_count=2)
 
 
+def q_strip_spans(spark, sf_dir):
+    """Exact-substring dedup, removal side: documents with every duplicated
+    >= 5-token span cut out. Scalar outputs (the cleaned text itself plus
+    exact token accounting), so the compare is exact."""
+    from pystreamfs_spark.operators.substr import strip_duplicate_spans
+
+    return strip_duplicate_spans(_t(spark, sf_dir, "documents"), k=5, min_count=2)
+
+
 def q_simhash(spark, sf_dir):
     from pystreamfs_spark.operators.dedup import simhash
 
@@ -1082,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_components": q_dedup_components,
         "simhash": q_simhash,
+        "strip_spans": q_strip_spans,  # NEW r05, oracled; rotates into the r06 window
         "bm25_top": q_bm25_top,  # rows-only: ln-idf is transcendental
         "resized_features": q_resized_features,
         "multimodal_features": q_multimodal_features,
@@ -1689,6 +1699,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_tokens,
                    CAST(COUNT(*) AS BIGINT) AS n_grams
             FROM r GROUP BY doc_id, grp
+        """,
+        # removal side of dup_spans: anti-join tokens against span coverage,
+        # re-join the survivors in position order. string_agg(ORDER BY pos)
+        # matches the engine's array_join over the position-filtered array.
+        "strip_spans": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            pg AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(t) >= 5
+                            THEN [i - 1 for i in range(1, len(t) - 3)]
+                            ELSE [] END) AS pos,
+                     unnest(CASE WHEN len(t) >= 5
+                            THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                                  for i in range(1, len(t) - 3)]
+                            ELSE [] END) AS gram
+              FROM toks),
+            d AS (SELECT gram FROM pg GROUP BY gram HAVING COUNT(*) >= 2),
+            s AS (SELECT pg.doc_id, pg.pos FROM pg JOIN d USING (gram)),
+            r AS (SELECT doc_id, pos,
+                         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                  FROM s),
+            sp AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) + 4 AS b
+                   FROM r GROUP BY doc_id, grp),
+            tok AS (SELECT doc_id,
+                           unnest([i - 1 for i in range(1, len(t) + 1)]) AS pos,
+                           unnest(t) AS tok
+                    FROM toks),
+            cut AS (SELECT DISTINCT tk.doc_id, tk.pos
+                    FROM tok tk JOIN sp ON tk.doc_id = sp.doc_id
+                                       AND tk.pos BETWEEN sp.a AND sp.b),
+            kept AS (SELECT tk.doc_id, tk.pos, tk.tok
+                     FROM tok tk ANTI JOIN cut USING (doc_id, pos)),
+            agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+                           COUNT(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT t2.doc_id,
+                   COALESCE(agg.text_clean, '') AS text_clean,
+                   CAST(len(t2.t) AS BIGINT) AS n_tokens,
+                   CAST(len(t2.t) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_tokens_removed
+            FROM toks t2 LEFT JOIN agg USING (doc_id)
         """,
         "decontaminate": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

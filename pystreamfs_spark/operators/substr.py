@@ -52,7 +52,11 @@ def _positional_grams(
     """(id, pos, gram) with 0-based token start positions; docs shorter than
     k tokens contribute no rows (a < k-token doc cannot hold a >= k-token
     duplicate span)."""
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    # NULL text coalesces to '' (one empty token < k → no grams) rather than
+    # poisoning size()/transform() with NULL arrays — chunk_by_tokens' rule
+    toks = df.select(
+        F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t")
+    )
     grams = F.when(
         F.size(F.col("__t")) >= k, shingles_from_tokens(F.col("__t"), k)
     ).otherwise(F.array().cast("array<string>"))
@@ -137,7 +141,9 @@ def strip_duplicate_spans(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
     toks = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+        df.select(
+            F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t")
+        )
         .join(per_doc, id_col, "left")
         # bind the coalesce to a real column BEFORE the HOF lambda touches
         # it — Catalyst re-evaluates expression trees once per reference,
