@@ -817,6 +817,27 @@ def q_ivf_ann_trained(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), F.col("rk").cast("int").alias("rk"))
 
 
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN end to end: train per-subspace L2 codebooks,
+    encode the corpus to code arrays, asymmetric-distance candidate search,
+    exact cosine re-rank (operators/ann.py::pq_codebooks/pq_encode/pq_topk).
+    Rows-only by necessity, like ivf_ann_trained: iterative float k-means
+    is not oracle-expressible; score-equals-inner-product at zero
+    quantization error and re-rank recall are asserted in
+    tests/test_operators.py (test_pq_topk_score_is_exact_... etc.)."""
+    from pystreamfs_spark.operators.ann import pq_codebooks, pq_encode, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, dims=64, n_subspaces=4, n_codes=8, n_iters=2)
+    codes = pq_encode(emb, books, dims=64)
+    q = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = pq_topk(codes, q, books, dims=64, k=5, rerank_corpus=emb)
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("score"), 6).alias("score"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     from pystreamfs_spark.operators.ann import cosine_self_similar
 
@@ -1100,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcnn_weights": _fold_query("mcnn", {}),
         "cancelout_weights": _fold_query("cancelout", {}),
         "ivf_ann_trained": q_ivf_ann_trained,  # rows-only: k-means codebook
+        "pq_ann": q_pq_ann,  # rows-only: trained PQ codebooks (NEW r05)
         "prequential_stream": q_prequential_stream,
         "fscr_kernel": q_fscr_kernel,
         "fsds_fast_weights": q_fsds_fast,

@@ -14,6 +14,10 @@
   scale path (swap in trained centroids for real recall tuning).
 - :func:`cosine_self_similar` — near-duplicate pairs by embedding cosine
   within LSH buckets (never all-pairs).
+- :func:`pq_codebooks` / :func:`pq_encode` / :func:`pq_topk` — product
+  quantization (Jégou et al. 2011): per-subspace L2 codebooks, byte-sized
+  code arrays, asymmetric-distance search with optional exact re-rank —
+  the ANN *memory* scale path (the corpus scan shrinks ~dims·4/m ×).
 """
 
 from __future__ import annotations
@@ -131,6 +135,7 @@ def kmeans_centroids(
     sample_fraction: float | None = None,
     seed: int = 42,
     inertia_log: list[float] | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Train an IVF codebook with Lloyd iterations expressed as DataFrame
     jobs — pass the result to :func:`ivf_cosine_topk(centroids=...)`.
@@ -161,7 +166,16 @@ def kmeans_centroids(
     applies (cosine ranking against the plain mean equals ranking against
     the normalized mean), so the log must be non-increasing — a cheap
     training-health check that also catches a degenerate codebook hiding
-    behind the empty-cell/keep-old path (asserted in tests)."""
+    behind the empty-cell/keep-old path (asserted in tests).
+
+    ``metric="l2"`` assigns by squared Euclidean distance instead — the
+    classical Lloyd's algorithm, whose plain-mean update is the exact
+    minimizer, so inertia (Σ squared distance) is non-increasing by the
+    textbook argument. This is the right metric for product-quantization
+    subspace codebooks (:func:`pq_codebooks`), where the target is
+    reconstruction error, not angular similarity."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"kmeans_centroids: metric must be 'cosine' or 'l2', got {metric!r}")
     train = corpus.select(F.col(id_col), F.col(vec_col)).where(F.col(vec_col).isNotNull())
     if sample_fraction is not None:
         train = train.sample(fraction=sample_fraction, seed=seed)
@@ -184,14 +198,19 @@ def kmeans_centroids(
             # bind the ranked array to a column before reading two fields of
             # element 1 — Catalyst re-evaluates an expression tree once per
             # reference (see text.shingles_from_tokens)
+            if metric == "cosine":
+                ranked = _ranked_cells(vec_col)
+                cell_expr = (-F.col("__best")["negcell"]).alias("cell")
+                # spherical inertia contribution: 1 − cos
+                cost_expr = (F.lit(1.0) - F.col("__best")["sim"]).alias("__cost")
+            else:
+                ranked = _ranked_cells_l2(vec_col)
+                cell_expr = F.col("__best")["cell"].alias("cell")
+                cost_expr = F.col("__best")["d"].alias("__cost")
             assigned = (
                 train.crossJoin(F.broadcast(cent_row))
-                .withColumn("__best", F.try_element_at(_ranked_cells(vec_col), F.lit(1)))
-                .select(
-                    F.col(vec_col),
-                    (-F.col("__best")["negcell"]).alias("cell"),
-                    F.col("__best")["sim"].alias("__sim"),
-                )
+                .withColumn("__best", F.try_element_at(ranked, F.lit(1)))
+                .select(F.col(vec_col), cell_expr, cost_expr)
             )
             if inertia_log is not None:
                 assigned = assigned.persist()
@@ -212,7 +231,7 @@ def kmeans_centroids(
                 )
                 new = {int(r["cell"]): [float(x) for x in r["__cv"]] for r in means.collect()}
                 if inertia_log is not None:
-                    v = assigned.agg(F.sum(1.0 - F.col("__sim"))).first()[0]
+                    v = assigned.agg(F.sum(F.col("__cost"))).first()[0]
                     # v is None only if assigned is empty, which the empty-train
                     # ValueError above already precludes; guard anyway so a
                     # future code path degrades to NaN instead of a TypeError
@@ -228,6 +247,31 @@ def kmeans_centroids(
     finally:
         train.unpersist()
     return spark.createDataFrame(cent_rows, "cell int, __cv array<double>")
+
+
+def _sqdist(a, b):
+    """Squared Euclidean distance of two array columns (a cast to double)."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ranked_cells_l2(vec_col: str):
+    """All cells ranked by (squared distance asc, cell asc) for the row's
+    vector, given a broadcast ``__cells`` array column — the L2 twin of
+    :func:`_ranked_cells` (ascending struct sort: nearest first, smaller
+    cell id on ties)."""
+    return F.array_sort(
+        F.transform(
+            F.col("__cells"),
+            lambda s: F.struct(
+                _sqdist(F.col(vec_col), s["__cv"]).alias("d"),
+                s["cell"].alias("cell"),
+            ),
+        )
+    )
 
 
 def _ranked_cells(vec_col: str):
@@ -340,3 +384,206 @@ def cosine_self_similar(
         .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): the ANN memory-compression path
+# ---------------------------------------------------------------------------
+
+def _book_row(codebooks: DataFrame):
+    """Collapse a (sub, cell, __cv) codebook table into ONE broadcastable
+    row: ``__books`` = array over subspaces (sorted by sub) of arrays over
+    codes (sorted by cell id, which is 1-based contiguous from the
+    surrogate init) of centroid vectors. Tiny by definition."""
+    per_sub = codebooks.groupBy("sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("cell", "__cv"))), lambda s: s["__cv"]
+        ).alias("cells")
+    )
+    return per_sub.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cells"))), lambda s: s["cells"]
+        ).alias("__books")
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dims: int,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Product-quantization codebooks: split the ``dims``-dim space into
+    ``n_subspaces`` contiguous slices and train an independent ``n_codes``-
+    centroid L2 k-means per slice (:func:`kmeans_centroids(metric="l2")` —
+    deterministic md5-min init, classical monotone Lloyd). Output:
+    (sub, cell, __cv) with cell ids 1..n_codes per subspace.
+
+    Memory story (the reason PQ exists): a corpus vector compresses from
+    dims×4 bytes to n_subspaces×1 byte of codes — 64-dim float32 → 4 bytes
+    at the defaults, a 64× reduction — while asymmetric-distance search
+    (:func:`pq_topk`) still scores against full-precision centroids. At
+    100 TB the codebook trains on a sample (codebooks need thousands of
+    points per code, not the corpus) and is n_subspaces×n_codes×(dims/m)
+    floats — broadcast-trivial."""
+    if dims % n_subspaces != 0:
+        raise ValueError(
+            f"pq_codebooks: dims ({dims}) must divide evenly into "
+            f"n_subspaces ({n_subspaces})"
+        )
+    dsub = dims // n_subspaces
+    books = None
+    for s in range(n_subspaces):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub).alias("__sv"),
+        )
+        cent = kmeans_centroids(
+            sub,
+            n_cells=n_codes,
+            n_iters=n_iters,
+            id_col=id_col,
+            vec_col="__sv",
+            sample_fraction=sample_fraction,
+            metric="l2",
+        )
+        part = cent.select(F.lit(s).alias("sub"), "cell", "__cv")
+        books = part if books is None else books.unionByName(part)
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector as its per-subspace nearest-centroid code
+    array — ONE broadcast of the codebook row, pure map stage, zero corpus
+    shuffle. Output: (id, codes array<int>) with 1-based codes aligned to
+    the codebook's cell ids. Ties break to the smaller code (ascending
+    struct sort), deterministic."""
+    m = F.size(F.col("__books"))
+    enc = corpus.crossJoin(F.broadcast(_book_row(codebooks)))
+    # per subspace i: argmin over that book's codes of ||slice − centroid||²
+    dsub_expr = F.lit(dims) / m  # integer by pq_codebooks' validation
+    codes = F.transform(
+        F.col("__books"),
+        lambda book, i: F.try_element_at(
+            F.array_sort(
+                F.transform(
+                    book,
+                    lambda cv, j: F.struct(
+                        _sqdist(
+                            F.slice(
+                                F.col(vec_col).cast("array<double>"),
+                                (i * dsub_expr.cast("int")) + F.lit(1),
+                                dsub_expr.cast("int"),
+                            ),
+                            cv,
+                        ).alias("d"),
+                        (j + F.lit(1)).alias("code"),
+                    ),
+                )
+            ),
+            F.lit(1),
+        )["code"].cast("int"),
+    )
+    return enc.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    dims: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank_corpus: DataFrame | None = None,
+    rerank_k: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query precomputes its
+    lookup table LUT[sub][code] = ⟨query_slice, centroid⟩ once (a broadcast-
+    sized cross join of queries × codebook row), then every corpus row is
+    scored with n_subspaces table lookups + adds — no full-dimension dot
+    product ever touches the corpus, and the corpus side reads only the
+    byte-sized code arrays. Score approximates the inner product (equals it
+    when quantization error is zero); rank on normalized vectors for cosine
+    semantics. Output: (query_id, vec_id, score, rk).
+
+    Plan shape: broadcast queries-with-LUT against the codes table (map
+    stage, O(N·Q) scored rows like :func:`cosine_topk` but each ~m adds
+    instead of d multiplies), then the grouped top-k. The 100 TB lever is
+    the code table being ~dims×4/m smaller than the raw vectors — the scan,
+    not the arithmetic, is what PQ buys down.
+
+    ``rerank_corpus``: the standard two-stage ANN shape (candidate
+    generation by ADC, exact re-rank on the survivors). PQ codes quantize a
+    whole centroid cell to ONE score, so tight neighborhoods tie and the
+    within-cell ranking is arbitrary — pass the raw-vector corpus and the
+    ADC stage keeps ``rerank_k`` (default 4·k) candidates per query, which
+    are then exact-cosine scored and re-cut to k. The candidate set is
+    Q×rerank_k rows — broadcast-joined against the corpus (map-only
+    semi-probe of the raw vectors, zero corpus shuffle), so the expensive
+    full-dimension math touches only the survivors."""
+    m_lit = F.size(F.col("__books"))
+    dsub = F.floor(F.lit(dims) / m_lit).cast("int")
+    q = queries.crossJoin(F.broadcast(_book_row(codebooks))).select(
+        F.col(query_id_col),
+        F.transform(
+            F.col("__books"),
+            lambda book, i: F.transform(
+                book,
+                lambda cv: F.aggregate(
+                    F.zip_with(
+                        F.slice(
+                            F.col(vec_col).cast("array<double>"),
+                            (i * dsub) + F.lit(1),
+                            dsub,
+                        ),
+                        cv,
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+        ).alias("__lut"),
+    )
+    scored = codes_df.crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.col("__lut"),
+            lambda c, tbl: F.try_element_at(tbl, c),  # codes are 1-based
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = scored.select(query_id_col, id_col, score.alias("score"))
+    if rerank_corpus is None:
+        return top_k_per_group(scored, [query_id_col], "score", k, tie_breakers=[id_col])
+    cand = top_k_per_group(
+        scored, [query_id_col], "score", rerank_k or 4 * k, tie_breakers=[id_col]
+    ).select(query_id_col, id_col)
+    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    exact = (
+        rerank_corpus.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qv")).alias("score"),
+        )
+    )
+    return top_k_per_group(exact, [query_id_col], "score", k, tie_breakers=[id_col])

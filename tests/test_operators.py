@@ -1080,3 +1080,114 @@ def test_salted_agg_verify_sample_catches_wrong_merge(spark):
         salted_agg(df, ["k"], bad, id_col="event_id", n_salts=8, verify_sample=1.0)
     with _pt.raises(ValueError, match="verify_sample"):
         salted_agg(df, ["k"], good, id_col="event_id", verify_sample=0.0)
+
+
+def test_kmeans_l2_metric_monotone(spark):
+    """metric="l2" is classical Lloyd: Σ squared distance is non-increasing
+    by the textbook argument (plain mean is the exact minimizer); bad metric
+    names fail fast."""
+    from pystreamfs_spark.operators.ann import kmeans_centroids
+
+    emb = _clustered_embeddings(spark, n_clusters=4, per_cluster=20).cache()
+    log = []
+    kmeans_centroids(emb, n_cells=4, n_iters=3, metric="l2", inertia_log=log)
+    assert len(log) == 3
+    for a, b in zip(log, log[1:]):
+        assert b <= a + 1e-9, log
+    assert log[-1] < log[0], log
+    with pytest.raises(ValueError, match="metric"):
+        kmeans_centroids(emb, metric="manhattan")
+
+
+def _hand_codebooks(spark):
+    """2 subspaces × 2 codes × 2 dims — a codebook whose centroid
+    cross-product spans the corpus exactly (zero quantization error)."""
+    rows = [
+        (0, 1, [1.0, 0.0]), (0, 2, [0.0, 1.0]),
+        (1, 1, [2.0, 0.0]), (1, 2, [0.0, 2.0]),
+    ]
+    return spark.createDataFrame(rows, "sub int, cell int, __cv array<double>")
+
+
+def test_pq_encode_exact_codes_and_nearest_rounding(spark):
+    """Vectors ON the centroid grid get their exact codes; perturbed vectors
+    still snap to the nearest centroid per subspace."""
+    from pystreamfs_spark.operators.ann import pq_encode
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 2.0, 0.0]),   # codes (1, 1)
+            (2, [0.0, 1.0, 0.0, 2.0]),   # codes (2, 2)
+            (3, [0.9, 0.1, 0.1, 1.9]),   # noisy → still (1, 2)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {r.vec_id: list(r.codes) for r in pq_encode(corpus, _hand_codebooks(spark), dims=4).collect()}
+    assert got == {1: [1, 1], 2: [2, 2], 3: [1, 2]}
+
+
+def test_pq_topk_score_is_exact_inner_product_at_zero_quantization_error(spark):
+    """With the corpus drawn exactly from the centroid cross-product, the
+    asymmetric-distance score must EQUAL the true inner product, and the
+    PQ ranking must match brute force."""
+    from pystreamfs_spark.operators.ann import pq_encode, pq_topk
+
+    books = _hand_codebooks(spark)
+    vecs = {
+        10: [1.0, 0.0, 2.0, 0.0],
+        11: [1.0, 0.0, 0.0, 2.0],
+        12: [0.0, 1.0, 2.0, 0.0],
+        13: [0.0, 1.0, 0.0, 2.0],
+    }
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id bigint, embedding array<double>"
+    )
+    codes = pq_encode(corpus, books, dims=4)
+    qvec = [0.5, 0.25, 1.0, 0.125]
+    queries = spark.createDataFrame([(99, qvec)], "query_id bigint, embedding array<double>")
+    got = pq_topk(codes, queries, books, dims=4, k=4).collect()
+    truth = {i: sum(a * b for a, b in zip(v, qvec)) for i, v in vecs.items()}
+    expect_order = sorted(truth, key=lambda i: (-truth[i], i))
+    assert [r.vec_id for r in sorted(got, key=lambda r: r.rk)] == expect_order
+    for r in got:
+        assert abs(r.score - truth[r.vec_id]) < 1e-12, (r.vec_id, r.score, truth[r.vec_id])
+
+
+def test_pq_trained_recall_on_clustered_corpus(spark):
+    """End-to-end trained PQ (L2 subspace k-means → encode → asymmetric
+    top-k) on well-separated clusters. Pure ADC quantizes a whole cell to
+    one score, so within-cluster ranking ties arbitrarily — what it CAN
+    guarantee here is returning members of the query's own cluster. The
+    exact re-rank stage (the standard two-stage ANN shape) must then
+    recover true top-k recall. All deterministic."""
+    from pystreamfs_spark.operators.ann import cosine_topk, pq_codebooks, pq_encode, pq_topk
+
+    emb = _clustered_embeddings(spark).cache()
+    q = emb.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()}
+    books = pq_codebooks(emb, dims=16, n_subspaces=4, n_codes=8, n_iters=2)
+    codes = pq_encode(emb, books, dims=16)
+    # stage 1 alone: every hit lands in the query's cluster (ids c*40..c*40+39)
+    adc = pq_topk(codes, q, books, dims=16, k=5).collect()
+    assert len(adc) == 8 * 5
+    in_cluster = sum(1 for r in adc if r.vec_id // 40 == r.query_id // 40)
+    assert in_cluster / len(adc) >= 0.9, in_cluster
+    # stage 2: ADC candidates + exact re-rank ≈ brute force
+    got = {
+        (r.query_id, r.vec_id)
+        for r in pq_topk(
+            codes, q, books, dims=16, k=5, rerank_corpus=emb, rerank_k=40
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_pq_codebooks_dims_validation(spark):
+    from pystreamfs_spark.operators.ann import pq_codebooks
+
+    emb = _clustered_embeddings(spark, n_clusters=2, per_cluster=5).cache()
+    with pytest.raises(ValueError, match="divide"):
+        pq_codebooks(emb, dims=16, n_subspaces=5)
