@@ -785,6 +785,64 @@ def q_decoded_features(spark, sf_dir):
     )
 
 
+def q_lexicon_score(spark, sf_dir):
+    """Weighted-lexicon document scoring (functions/text.py::lexicon_score)
+    with DYADIC weights — every partial sum exactly representable, so the
+    fold's token-order total and the oracle's per-term-count expansion are
+    the bit-identical double (unrounded, hash-safe)."""
+    from pystreamfs_spark.functions.text import lexicon_score
+
+    d = _t(spark, sf_dir, "documents")
+    w = {"slow": -1.0, "fast": 0.5, "merge": 0.25, "scan": 0.125, "dup": -0.5}
+    return d.select("doc_id", lexicon_score(F.col("text"), w, bias=2.0).alias("lex"))
+
+
+def q_budget_select(spark, sf_dir):
+    """Token-budget corpus selection (operators/budget.py::select_to_budget):
+    greedy quality-ranked fill to a 1500-token budget via the distributed
+    prefix sum (score-range buckets — never a global single-task window).
+    Ordering key is the per-row quality scalar — a fixed expression tree
+    evaluated identically in both engines (the doc_quality oracle proves
+    the values), tie-broken by doc_id; token sums are exact BIGINTs."""
+    from pystreamfs_spark.functions import text as T
+    from pystreamfs_spark.operators.budget import select_to_budget
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("qv"),
+        T.token_count(F.col("text")).alias("n_toks"),
+    )
+    out = select_to_budget(
+        scored, budget=1500, score_col="qv", tokens_col="n_toks", id_col="doc_id"
+    )
+    return out.select(
+        "doc_id",
+        F.round(F.col("qv"), 6).alias("q"),
+        F.col("n_toks").cast("int").alias("n_toks"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )
+
+
+def q_mix_sources(spark, sf_dir):
+    """Corpus mixing to target proportions (operators/sampling.py::
+    mix_to_proportions): rates DERIVED from 0.4/0.3/0.2/0.1 targets over
+    four of the twenty sources (the rest drop via the inner join), the
+    limiting source kept whole, selection by the engine-wide md5 bucket
+    rule — the whole derivation (counts → min-scale → floor thresholds)
+    reproduced verbatim in the SQL oracle."""
+    from pystreamfs_spark.operators.sampling import mix_to_proportions
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = mix_to_proportions(
+        d,
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        source_col="source",
+        key_col="doc_id",
+    )
+    return out.select("doc_id", "source")
+
+
 def q_lsh_ann(spark, sf_dir):
     from pystreamfs_spark.operators.ann import lsh_cosine_topk
 
@@ -1043,6 +1101,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new operator gets an immediate driver row), and the rows-only
         # bm25_top (r04-checked).
         # ofs_weights/prequential_ofs stay as the §2 kernel anchors.
+        # r06 rotation demand (execute next round): IN — the 4 NEW r05
+        # tail oracles (strip_spans, budget_select, mix_sources,
+        # lexicon_score; each carries a three-scale local DuckDB proof) +
+        # every oracled entry rotated out in r05 whose last driver row is
+        # then one-round-stale (asof_join, strict_prefix, hourly,
+        # session_window, rollup_revenue, event_pivot, fscr_sql,
+        # nogueira_sql, lsh_ann, embedding_near_dups, dedup_components,
+        # simhash) + first slots for the rows-only pq_ann and bm25_top.
+        # OUT — r05-window entries that are then green in both r04 and
+        # r05 (the 10 rotated-in r04 additions qualify first).
         "sessionize": q_sessionize,
         "count_windows": q_count_windows,
         "lag_lead": q_lag_lead,
@@ -1113,6 +1181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "strip_spans": q_strip_spans,  # NEW r05, oracled; rotates into the r06 window
+        "budget_select": q_budget_select,  # NEW r05, oracled; rotates into the r06 window
+        "mix_sources": q_mix_sources,  # NEW r05, oracled; rotates into the r06 window
+        "lexicon_score": q_lexicon_score,  # NEW r05, oracled; rotates into the r06 window
         "bm25_top": q_bm25_top,  # rows-only: ln-idf is transcendental
         "resized_features": q_resized_features,
         "multimodal_features": q_multimodal_features,
@@ -1761,6 +1832,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t2.t) AS BIGINT) AS n_tokens,
                    CAST(len(t2.t) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_tokens_removed
             FROM toks t2 LEFT JOIN agg USING (doc_id)
+        """,
+        "lexicon_score": f"""
+            SELECT doc_id,
+                   2.0 + 0.5 * len(list_filter({_TOKS}, t -> t = 'fast'))
+                       + 0.25 * len(list_filter({_TOKS}, t -> t = 'merge'))
+                       + 0.125 * len(list_filter({_TOKS}, t -> t = 'scan'))
+                       - 1.0 * len(list_filter({_TOKS}, t -> t = 'slow'))
+                       - 0.5 * len(list_filter({_TOKS}, t -> t = 'dup')) AS lex
+            FROM documents
+        """,
+        "budget_select": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(len(list_filter({_TOKS}, t -> list_contains({sw}, t))) AS DOUBLE)
+                       / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS swr,
+                     CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+                     CAST(length(text) AS DOUBLE) / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS cpt,
+                     CAST(len({_TOKS}) AS INT) AS n_toks
+              FROM documents),
+            qs AS (
+              SELECT doc_id,
+                     0.4 * least(swr * 4.0, 1.0)
+                       + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+                       + 0.3 * (CASE WHEN cpt >= 3.0 AND cpt <= 12.0 THEN 1.0 ELSE 0.0 END) AS qv,
+                     n_toks
+              FROM s),
+            c AS (
+              SELECT doc_id, qv, n_toks,
+                     SUM(CAST(n_toks AS BIGINT)) OVER (ORDER BY qv DESC, doc_id) AS cum_tokens
+              FROM qs)
+            SELECT doc_id, ROUND(qv, 6) AS q, n_toks, cum_tokens
+            FROM c WHERE cum_tokens <= 1500
+        """,
+        "mix_sources": """
+            WITH w(source, __w) AS (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+            c AS (SELECT source, COUNT(*) AS __cnt FROM documents GROUP BY source),
+            j AS (SELECT c.source, __cnt, __w FROM c JOIN w USING (source)),
+            s AS (SELECT MIN(__cnt / __w) AS __scale FROM j),
+            t AS (SELECT source, FLOOR(__w * __scale / __cnt * 10000) AS __thr
+                  FROM j CROSS JOIN s)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN t USING (source)
+            WHERE CAST(('0x' || substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < __thr
         """,
         "decontaminate": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

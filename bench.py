@@ -246,6 +246,10 @@ def main() -> None:
         "sketch_rollup": lambda: entry_queries["sketch_rollup"](spark, sf_dir).count(),
         # r05: exact-substring dedup over the sf documents corpus
         "dup_spans": lambda: entry_queries["dup_spans"](spark, sf_dir).count(),
+        # r05: PQ train+encode+ADC+re-rank end to end; composition ops
+        "pq_ann": lambda: entry_queries["pq_ann"](spark, sf_dir).count(),
+        "budget_select": lambda: entry_queries["budget_select"](spark, sf_dir).count(),
+        "mix_sources": lambda: entry_queries["mix_sources"](spark, sf_dir).count(),
         # r05: the hot-key pair — same job direct vs salted (scale-stress)
         "skew_direct": skew_direct_run,
         "skew_salted": skew_salted_run,

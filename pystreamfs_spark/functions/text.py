@@ -156,3 +156,40 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     materializing :func:`tokens` into a column and using
     :func:`shingles_from_tokens` in anything performance-sensitive."""
     return shingles_from_tokens(tokens(text), k)
+
+
+def lexicon_score(text: Column, weights: dict[str, float], bias: float = 0.0) -> Column:
+    """Weighted-lexicon score: ``bias + Σ_tokens weight[token]`` over the
+    normalized single-space tokens, unknown tokens contributing 0 — the
+    classic lexicon-based quality / toxicity / domain scorer (bad-word
+    lists, hand-tuned quality terms, an exported linear classifier's
+    largest weights).
+
+    ONE pass over the token array: the lexicon becomes a map literal
+    (broadcast with the plan — lexicons are hundreds to thousands of
+    terms, never corpus-sized) and a single ``aggregate`` fold does a map
+    lookup per token. The token array is referenced exactly once (Catalyst
+    re-evaluates an expression tree per reference — the
+    ``shingles_from_tokens`` rule).
+
+    Summation is the fold's left-to-right token order. With arbitrary
+    float weights the last ulp of the total depends on that order; with
+    DYADIC weights (multiples of 2^-k, e.g. 0.25, -1.5) every partial sum
+    is exact, so ANY evaluation order — including a SQL oracle written as
+    ``Σ_terms weight·count(term)`` — produces the bit-identical double.
+    The driver contract query uses dyadic weights for exactly this reason.
+    """
+    if not weights:
+        raise ValueError("lexicon_score: weights must be a non-empty dict")
+    pairs = sorted(weights.items())
+    m = F.create_map(
+        *[x for term, w in pairs for x in (F.lit(term), F.lit(float(w)))]
+    )
+    toks = tokens(F.coalesce(text, F.lit("")))
+    # try_element_at, not m[t]: ANSI mode makes a plain map access THROW on
+    # a missing key, and unknown tokens are the common case here
+    return F.aggregate(
+        toks,
+        F.lit(float(bias)),
+        lambda acc, t: acc + F.coalesce(F.try_element_at(m, t), F.lit(0.0)),
+    )

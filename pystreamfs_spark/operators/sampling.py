@@ -124,3 +124,58 @@ def stratified_hash_sample(
     default = F.lit(round(default_rate * n_buckets))
     thresh = default if thresh is None else thresh.otherwise(default)
     return df.where(b < thresh)
+
+
+def mix_to_proportions(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Down-sample a multi-source corpus to target mixture proportions —
+    the data-mixing step of a pretraining pipeline ("web:books:code at
+    70:20:10"), with the per-source rates DERIVED from the targets rather
+    than hand-supplied (contrast :func:`stratified_hash_sample`).
+
+    The limiting source is the one most over-asked relative to its size:
+    ``scale = min_s(count_s / weight_s)``. It is kept whole (rate 1.0);
+    every other source keeps ``weight_s·scale / count_s`` of its rows, so
+    the surviving corpus hits the target ratios at the largest total size
+    achievable without upsampling. Selection is the engine's deterministic
+    md5 rule quantized to whole buckets — reproducible, growth-stable, and
+    expressible as an exact SQL oracle; realized counts deviate from the
+    quantized targets only by the hash's binomial noise (~±√n per source).
+
+    Sources absent from ``weights`` are dropped (the inner join *is* the
+    filter). NULL keys raise (see :func:`hash_bucket`).
+
+    Plan shape at 100 TB: one map-side-combined count per source (shuffle
+    of n_sources rows), a scalar min over that tiny table, thresholds
+    broadcast back, then a map-only hash filter over the corpus — the
+    corpus itself is never shuffled, and nothing is collected to the
+    driver."""
+    if not weights:
+        raise ValueError("weights must be a non-empty dict")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive (drop a source by omitting it)")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in weights.items()], f"{source_col} string, __w double"
+    )
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__cnt"))
+    j = counts.join(F.broadcast(wdf), source_col)
+    scale = j.agg(F.min(F.col("__cnt") / F.col("__w")).alias("__scale"))
+    thr = (
+        j.crossJoin(F.broadcast(scale))
+        .select(
+            source_col,
+            # left-assoc double chain — written identically in the SQL oracle
+            F.floor(F.col("__w") * F.col("__scale") / F.col("__cnt") * n_buckets).alias(
+                "__thr"
+            ),
+        )
+    )
+    b = hash_bucket(F.col(key_col), n_buckets, salt)
+    return df.join(F.broadcast(thr), source_col).where(b < F.col("__thr")).drop("__thr")

@@ -1191,3 +1191,119 @@ def test_pq_codebooks_dims_validation(spark):
     emb = _clustered_embeddings(spark, n_clusters=2, per_cluster=5).cache()
     with pytest.raises(ValueError, match="divide"):
         pq_codebooks(emb, dims=16, n_subspaces=5)
+
+
+def test_select_to_budget_strict_and_overfill(spark):
+    """Greedy quality-first fill: strict stops before the budget is
+    exceeded; overfill includes the straddling document. Bucket count must
+    not change the result (distributed prefix sum is bucket-invariant)."""
+    from pystreamfs_spark.operators.budget import select_to_budget
+
+    d = spark.createDataFrame(
+        [(1, 9.0, 10), (2, 8.0, 20), (3, 7.0, 30), (4, 6.0, 40), (5, 5.0, 50)],
+        "doc_id bigint, score double, n_tokens int",
+    )
+    strict = {r.doc_id: r.cum_tokens for r in select_to_budget(d, 55).collect()}
+    assert strict == {1: 10, 2: 30}
+    over = {r.doc_id: r.cum_tokens for r in select_to_budget(d, 55, mode="overfill").collect()}
+    assert over == {1: 10, 2: 30, 3: 60}
+    for nb in (1, 3, 256):
+        got = {r.doc_id: r.cum_tokens for r in select_to_budget(d, 55, n_buckets=nb).collect()}
+        assert got == strict, nb
+
+
+def test_select_to_budget_ties_and_nulls(spark):
+    """Equal scores rank by id; NULL token counts consume 0 budget; NULL
+    scores raise; budget 0 selects nothing."""
+    from pystreamfs_spark.operators.budget import select_to_budget
+
+    d = spark.createDataFrame(
+        [(3, 5.0, 10), (1, 5.0, 10), (2, 5.0, None), (4, 4.0, 10)],
+        "doc_id bigint, score double, n_tokens int",
+    )
+    got = [r.doc_id for r in select_to_budget(d, 20).orderBy("cum_tokens", "doc_id").collect()]
+    # order (5.0,1)=10, (5.0,2)=+0, (5.0,3)=+10 → cum 20; (4.0,4) → 30 > 20
+    assert got == [1, 2, 3]
+    assert select_to_budget(d, 0).count() == 0
+
+    bad = spark.createDataFrame(
+        [(1, None, 10)], "doc_id bigint, score double, n_tokens int"
+    )
+    with pytest.raises(Exception, match="NULL score"):
+        select_to_budget(bad, 100).collect()
+    with pytest.raises(ValueError, match="mode"):
+        select_to_budget(d, 10, mode="greedy")
+
+
+def test_select_to_budget_matches_single_window_oracle(spark):
+    """The distributed prefix sum must equal the naive single-window plan
+    on a larger random-ish (but deterministic) corpus, including float
+    scores that collide across bucket boundaries."""
+    from pyspark.sql import Window
+    from pystreamfs_spark.operators.budget import select_to_budget
+
+    d = spark.createDataFrame(
+        [(i, float((i * 37) % 100) / 10.0, (i * 13) % 50 + 1) for i in range(2000)],
+        "doc_id bigint, score double, n_tokens int",
+    ).cache()
+    budget = 9000
+    got = {(r.doc_id, r.cum_tokens) for r in select_to_budget(d, budget, n_buckets=16).collect()}
+    w = Window.orderBy(F.col("score").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = d.withColumn("cum", F.sum(F.col("n_tokens").cast("long")).over(w)).where(
+        F.col("cum") <= budget
+    )
+    want = {(r.doc_id, r.cum) for r in naive.collect()}
+    assert got == want and len(got) > 100
+
+
+def test_mix_to_proportions_limiting_source_kept_whole(spark):
+    """Rates derive from the targets: the most over-asked source is kept
+    whole, others are down-sampled toward the target ratio; unlisted
+    sources are dropped; deterministic across runs."""
+    from pystreamfs_spark.operators.sampling import mix_to_proportions
+
+    rows = (
+        [(i, "a") for i in range(1000)]
+        + [(10_000 + i, "b") for i in range(500)]
+        + [(20_000 + i, "c") for i in range(100)]
+        + [(30_000 + i, "dropme") for i in range(50)]
+    )
+    d = spark.createDataFrame(rows, "doc_id bigint, source string")
+    # scale = min(1000/.5, 500/.3, 100/.2) = 500 → targets 250 / 150 / 100
+    out = mix_to_proportions(d, {"a": 0.5, "b": 0.3, "c": 0.2}, key_col="doc_id")
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"a", "b", "c"}
+    assert counts["c"] == 100                      # limiting source: rate 1.0
+    assert abs(counts["a"] - 250) <= 50            # hash-binomial tolerance
+    assert abs(counts["b"] - 150) <= 40
+    again = mix_to_proportions(d, {"a": 0.5, "b": 0.3, "c": 0.2}, key_col="doc_id")
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+    with pytest.raises(ValueError, match="non-empty"):
+        mix_to_proportions(d, {})
+    with pytest.raises(ValueError, match="positive"):
+        mix_to_proportions(d, {"a": 0.0})
+
+
+def test_lexicon_score_hand_values(spark):
+    """bias + Σ weight[token]: normalized lowercase tokens, unknown tokens
+    0, NULL/empty text → bias alone; empty lexicon fails fast."""
+    from pystreamfs_spark.functions.text import lexicon_score
+
+    d = spark.createDataFrame(
+        [(1, "Fast fast  SLOW other"), (2, None), (3, "")],
+        "doc_id bigint, text string",
+    )
+    w = {"fast": 0.5, "slow": -1.0}
+    got = {
+        r.doc_id: r.s
+        for r in d.select(
+            "doc_id", lexicon_score(F.col("text"), w, bias=0.25).alias("s")
+        ).collect()
+    }
+    assert got[1] == 0.25 + 0.5 + 0.5 - 1.0
+    assert got[2] == 0.25 and got[3] == 0.25
+    with pytest.raises(ValueError, match="non-empty"):
+        lexicon_score(F.col("text"), {})
