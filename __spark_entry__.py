@@ -943,6 +943,39 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(d, pairs, id_col="doc_id")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup.py): md5-min surrogate codebook (8
+    cells, oracle-reproducible), within-cell cosine ≥ 0.3 edges, connected
+    components, min-id representative. The oracle reproduces the identical
+    assignment (the ivf_ann precedent), the within-cell pair filter, and
+    the closure with a recursive CTE (the dedup_components precedent)."""
+    from pystreamfs_spark.operators.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.3, n_cells=8)
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("component").cast("bigint").alias("component"),
+        "is_kept",
+    )
+
+
+
+
+def q_leak_split(spark, sf_dir):
+    """Leakage-safe 98/1/1 split (operators/sampling.py::leakage_safe_split):
+    SimHash Hamming-0 pairs → connected components → md5 hash-split on the
+    COMPONENT label, so a near-dup group never straddles train/test. The
+    oracle reuses the dedup_components recursive-closure CTE and the
+    hash_split bucket rule, keyed on the component."""
+    from pystreamfs_spark.operators.dedup import simhash_duplicates
+    from pystreamfs_spark.operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_duplicates(d, n_bits=16)
+    out = leakage_safe_split(d.select("doc_id"), pairs, id_col="doc_id")
+    return out.select("doc_id", F.col("component").cast("bigint").alias("component"), "split")
 
 
 def q_cube_events(spark, sf_dir):
@@ -1101,9 +1134,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new operator gets an immediate driver row), and the rows-only
         # bm25_top (r04-checked).
         # ofs_weights/prequential_ofs stay as the §2 kernel anchors.
-        # r06 rotation demand (execute next round): IN — the 4 NEW r05
+        # r06 rotation demand (execute next round): IN — the 6 NEW r05
         # tail oracles (strip_spans, budget_select, mix_sources,
-        # lexicon_score; each carries a three-scale local DuckDB proof) +
+        # lexicon_score, semantic_dedup, leak_split; each carries a
+        # three-scale local DuckDB proof) +
         # every oracled entry rotated out in r05 whose last driver row is
         # then one-round-stale (asof_join, strict_prefix, hourly,
         # session_window, rollup_revenue, event_pivot, fscr_sql,
@@ -1184,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,  # NEW r05, oracled; rotates into the r06 window
         "mix_sources": q_mix_sources,  # NEW r05, oracled; rotates into the r06 window
         "lexicon_score": q_lexicon_score,  # NEW r05, oracled; rotates into the r06 window
+        "semantic_dedup": q_semantic_dedup,  # NEW r05, oracled; rotates into the r06 window
+        "leak_split": q_leak_split,  # NEW r05, oracled; rotates into the r06 window
         "bm25_top": q_bm25_top,  # rows-only: ln-idf is transcendental
         "resized_features": q_resized_features,
         "multimodal_features": q_multimodal_features,
@@ -1966,6 +2002,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, ROUND(cos, 6) AS cos, CAST(rk AS INT) AS rk
             FROM r WHERE rk <= 5
         """,
+        "semantic_dedup": """
+            WITH RECURSIVE
+            c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+            cent0 AS (SELECT vec_id, cv, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT 8),
+            cent AS (SELECT row_number() OVER (ORDER BY h) AS cell, cv AS centv FROM cent0),
+            casg AS (
+              SELECT vec_id, cell FROM (
+                SELECT c.vec_id, cent.cell,
+                       row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                         list_dot_product(c.cv, cent.centv)
+                           / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
+                         cent.cell) AS crk
+                FROM c, cent)
+              WHERE crk = 1),
+            edges AS (SELECT a.vec_id AS u, b.vec_id AS w
+                      FROM casg a JOIN casg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+                      JOIN c ca ON ca.vec_id = a.vec_id
+                      JOIN c cb ON cb.vec_id = b.vec_id
+                      WHERE list_dot_product(ca.cv, cb.cv)
+                              / (sqrt(list_dot_product(ca.cv, ca.cv)) * sqrt(list_dot_product(cb.cv, cb.cv))) >= 0.3),
+            reach(id, label) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r ON e.w = r.id),
+            comp AS (SELECT id AS vec_id, MIN(label) AS component FROM reach GROUP BY id)
+            SELECT comp.vec_id, CAST(casg.cell AS INT) AS cell,
+                   CAST(component AS BIGINT) AS component,
+                   (comp.vec_id = component) AS is_kept
+            FROM comp JOIN casg ON casg.vec_id = comp.vec_id
+        """,
         "embedding_near_dups": """
             WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
                               CAST(unnest(range(len(embedding))) AS INT) AS pos
@@ -2106,6 +2172,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.u, r.label FROM edges e JOIN reach r ON e.w = r.id)
             SELECT id AS doc_id, MIN(label) AS component, (id = MIN(label)) AS is_canonical
             FROM reach GROUP BY id
+        """,
+        # same recursive closure, but the train/val/test bucket is keyed on
+        # the COMPONENT label — a duplicate group can never straddle splits
+        "leak_split": f"""
+            WITH RECURSIVE tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+            v AS (SELECT doc_id,
+                         {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16))}
+                  FROM h GROUP BY doc_id),
+            sims AS (SELECT doc_id,
+                   CAST({" + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16))} AS BIGINT) AS simhash
+                   FROM v),
+            edges AS (SELECT a.doc_id AS u, b.doc_id AS w FROM sims a JOIN sims b
+                      ON a.simhash = b.simhash AND a.doc_id <> b.doc_id),
+            reach(id, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r ON e.w = r.id),
+            comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id)
+            SELECT doc_id, CAST(component AS BIGINT) AS component,
+                   CASE WHEN CAST(('0x' || substring(md5('split' || CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9800 THEN 'train'
+                        WHEN CAST(('0x' || substring(md5('split' || CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM comp
         """,
         "tfidf_top": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),

@@ -250,6 +250,7 @@ def main() -> None:
         "pq_ann": lambda: entry_queries["pq_ann"](spark, sf_dir).count(),
         "budget_select": lambda: entry_queries["budget_select"](spark, sf_dir).count(),
         "mix_sources": lambda: entry_queries["mix_sources"](spark, sf_dir).count(),
+        "semantic_dedup": lambda: entry_queries["semantic_dedup"](spark, sf_dir).count(),
         # r05: the hot-key pair — same job direct vs salted (scale-stress)
         "skew_direct": skew_direct_run,
         "skew_salted": skew_salted_run,

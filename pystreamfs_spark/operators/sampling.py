@@ -179,3 +179,47 @@ def mix_to_proportions(
     )
     b = hash_bucket(F.col(key_col), n_buckets, salt)
     return df.join(F.broadcast(thr), source_col).where(b < F.col("__thr")).drop("__thr")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+    n_buckets: int = 10_000,
+    split_col: str = "split",
+    component_col: str = "component",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across splits:
+    rows are hash-split by their DUPLICATE-GROUP label, not their own id,
+    so every member of a duplicate group lands in the same split — the
+    standard fix for eval contamination via near-identical documents
+    straddling the train/test boundary.
+
+    ``edges`` is any duplicate-pair table (MinHash-LSH candidates, SimHash
+    pairs, :func:`~pystreamfs_spark.operators.semdedup.semantic_dedup`
+    edges); groups are their transitive closure via
+    :func:`~pystreamfs_spark.operators.graph.connected_components`, labeled
+    by MIN member id. Rows in no pair are their own group, so they receive
+    EXACTLY the split :func:`hash_split` on ``id_col`` would give them —
+    adding dedup evidence only ever moves actual duplicates, never
+    reshuffles the clean corpus (asserted in tests).
+
+    Output: the input rows + ``component_col`` + ``split_col``.
+
+    Plan shape at 100 TB: CC runs over the duplicate-pair set (duplicate-
+    sized, not corpus-sized, O(log d) rounds); the label join shuffles on
+    the id; the split itself is the map-only deterministic md5 rule. NULL
+    ids raise (see :func:`hash_bucket`)."""
+    from pystreamfs_spark.operators.graph import connected_components
+
+    comp = connected_components(edges, src=src, dst=dst)
+    out = df.join(
+        comp.select(F.col("id").alias(id_col), F.col("component").alias("__comp")),
+        id_col,
+        "left",
+    ).withColumn(component_col, F.coalesce(F.col("__comp"), F.col(id_col))).drop("__comp")
+    return hash_split(out, component_col, fractions, salt, n_buckets, split_col)

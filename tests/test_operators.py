@@ -1307,3 +1307,137 @@ def test_lexicon_score_hand_values(spark):
     assert got[2] == 0.25 and got[3] == 0.25
     with pytest.raises(ValueError, match="non-empty"):
         lexicon_score(F.col("text"), {})
+
+
+def _semdedup_fixture(spark):
+    """Two well-separated clusters on orthogonal axes, each containing a
+    planted near-duplicate pair plus an unrelated member; one orthogonal
+    singleton. Cosine within a planted pair ≈ 1; across clusters ≈ 0."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.7, 0.7, 0.0, 0.0]),      # same cell, cos ≈ 0.71 to 1/2 — below threshold
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.999, 0.01]),   # near-dup of 4
+        (6, [0.0, 0.0, 0.0, 1.0]),      # singleton
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_semantic_dedup_groups_and_representatives(spark):
+    """Planted near-dup pairs collapse to one kept representative (min id);
+    singletons keep themselves; every input row appears exactly once.
+    Centroids are caller-supplied so cluster membership is forced."""
+    from pystreamfs_spark.operators.semdedup import semantic_dedup
+
+    d = _semdedup_fixture(spark)
+    cent = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.0])],
+        "cell int, __cv array<double>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(d, threshold=0.95, centroids=cent).collect()}
+    assert len(out) == 6
+    assert out[1].component == 1 and out[1].is_kept
+    assert out[2].component == 1 and not out[2].is_kept
+    assert out[3].component == 3 and out[3].is_kept          # cos(3, 1) ≈ 0.707 < 0.95
+    assert out[4].component == 4 and out[4].is_kept
+    assert out[5].component == 4 and not out[5].is_kept
+    assert out[6].component == 6 and out[6].is_kept
+    # cells as forced by the codebook
+    assert out[1].cell == out[2].cell == out[3].cell == 1
+    assert out[4].cell == out[5].cell == 2
+
+
+def test_semantic_dedup_cluster_boundary_miss_is_the_documented_trade(spark):
+    """A near-dup pair split across cells is NOT merged — the paper's
+    recall trade. Same vectors, codebook that separates ids 4 and 5."""
+    from pystreamfs_spark.operators.semdedup import semantic_dedup
+
+    d = _semdedup_fixture(spark)
+    # cell 1 is exactly v4's direction, cell 2 exactly v5's: each planted
+    # twin is its own cell's best match (cos = 1 beats cos ≈ 0.99995)
+    cent2 = spark.createDataFrame(
+        [(1, [0.0, 0.0, 1.0, 0.0]), (2, [0.0, 0.0, 0.999, 0.01])],
+        "cell int, __cv array<double>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(d, threshold=0.95, centroids=cent2).collect()}
+    assert out[4].cell != out[5].cell
+    assert out[4].component == 4 and out[5].component == 5   # pair missed across cells
+    assert out[4].is_kept and out[5].is_kept
+
+
+def test_semantic_dedup_keep_best_priority(spark):
+    """keep='best' keeps the highest-priority member of each group (ties to
+    the smaller id) while group labels stay min-id."""
+    from pystreamfs_spark.operators.semdedup import semantic_dedup
+
+    d = _semdedup_fixture(spark)
+    pri = d.sparkSession.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5), (4, 0.7), (5, 0.7), (6, 0.2)],
+        "vec_id bigint, q double",
+    )
+    cent = d.sparkSession.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.0])],
+        "cell int, __cv array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            d.join(pri, "vec_id"), threshold=0.95, centroids=cent,
+            keep="best", priority_col="q",
+        ).collect()
+    }
+    assert out[2].is_kept and not out[1].is_kept            # 0.9 beats 0.1
+    assert out[4].is_kept and not out[5].is_kept            # tie 0.7/0.7 → min id
+    assert out[1].component == 1 and out[2].component == 1  # labels unchanged
+
+    with pytest.raises(ValueError, match="priority_col"):
+        semantic_dedup(d, keep="best")
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(d, threshold=1.5)
+    with pytest.raises(ValueError, match="keep"):
+        semantic_dedup(d, keep="first")
+
+
+def test_semantic_dedup_null_vector_raises(spark):
+    from pystreamfs_spark.operators.semdedup import semantic_dedup
+
+    d = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id bigint, embedding array<double>"
+    )
+    cent = spark.createDataFrame([(1, [1.0, 0.0])], "cell int, __cv array<double>")
+    with pytest.raises(Exception, match="NULL embedding"):
+        semantic_dedup(d, centroids=cent).collect()
+
+
+def test_leakage_safe_split_groups_stay_together(spark):
+    """Every member of a duplicate group gets the group's split; rows in no
+    pair get EXACTLY the split plain hash_split would give them (adding
+    dedup evidence never reshuffles the clean corpus)."""
+    from pystreamfs_spark.operators.sampling import hash_split, leakage_safe_split
+
+    d = spark.createDataFrame([(i,) for i in range(1, 101)], "doc_id bigint")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (6, 7), (50, 99)], "id_a bigint, id_b bigint"
+    )
+    out = {r.doc_id: r for r in leakage_safe_split(d, edges).collect()}
+    assert len(out) == 100
+    for grp in ([1, 2, 3], [6, 7], [50, 99]):
+        assert len({out[i].split for i in grp}) == 1, grp
+        assert {out[i].component for i in grp} == {min(grp)}, grp
+    plain = {r.doc_id: r.split for r in hash_split(d, key_col="doc_id").collect()}
+    paired = {1, 2, 3, 6, 7, 50, 99}
+    for i in set(range(1, 101)) - paired:
+        assert out[i].component == i and out[i].split == plain[i], i
+
+
+def test_leakage_safe_split_custom_fractions_partition(spark):
+    """Fractions flow through to hash_split; splits partition the corpus."""
+    from pystreamfs_spark.operators.sampling import leakage_safe_split
+
+    d = spark.createDataFrame([(i,) for i in range(200)], "doc_id bigint")
+    edges = spark.createDataFrame([(0, 1)], "id_a bigint, id_b bigint")
+    out = leakage_safe_split(d, edges, fractions={"train": 0.5, "test": 0.5})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 200 and set(counts) == {"train", "test"}
+    assert abs(counts["train"] - 100) < 40            # md5-binomial tolerance

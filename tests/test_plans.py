@@ -215,3 +215,37 @@ def test_skew_audit_broadcasts_global_totals(spark, sf_dir):
     text = explain_str(out)
     assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text, text[:3000]
     assert count_exchanges(out) <= 5, text[:3000]
+
+
+def test_semantic_dedup_assignment_is_map_only_and_pairs_shuffle_on_cell(spark, sf_dir):
+    """The cell-assignment stage must broadcast the codebook (no corpus
+    shuffle to assign); the codebook side of the pair join is a broadcast
+    cross join of ONE collected row, so the only corpus exchange in the
+    whole pre-CC plan is the cell-keyed pair join."""
+    from pystreamfs_spark.functions.vectors import cosine
+    from pystreamfs_spark.operators.ann import _ranked_cells
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = spark.createDataFrame(
+        [(i, [1.0 if d == i else 0.0 for d in range(64)]) for i in range(1, 5)],
+        "cell int, __cv array<double>",
+    )
+    cent_row = cent.agg(F.collect_list(F.struct("cell", "__cv")).alias("__cells"))
+    assigned = emb.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id", "embedding",
+        (-F.try_element_at(_ranked_cells("embedding"), F.lit(1))["negcell"]).alias("cell"),
+    )
+    # assignment alone: broadcast nested-loop of a 1-row side, zero
+    # corpus-partitioning exchanges beyond the broadcast's own
+    n_assign = count_exchanges(assigned)
+    a = assigned.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"), "cell")
+    b = assigned.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"), "cell")
+    edges = (
+        a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+    )
+    # the pair join adds at most 2 shuffle exchanges (one per side, or fewer
+    # if Spark broadcasts); it must NOT explode into a cartesian
+    assert count_exchanges(edges) - n_assign <= 2, explain_str(edges)[:3000]
+    assert "CartesianProduct" not in explain_str(edges), explain_str(edges)[:3000]
