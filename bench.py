@@ -158,7 +158,11 @@ def main() -> None:
     # salted_agg driver oracle). NOTE: a bare `.count()` on the aggregate
     # would let the optimizer DROP the collect_set entirely — the sum over
     # sizes forces it.
-    n_skew = int(os.environ.get("BENCH_SKEW_ROWS", str(max(200_000, int(120_000_000 * sf)))))
+    # 240M×sf (24M at sf0.1): the scale where the hot key's single-task
+    # final merge dominates and salting wins ~2.7×. At 12M the pair measures
+    # ~1.0 (break-even) and below ~10M salting LOSES — the honest crossover;
+    # the stress entry exists to measure the remedy in its regime.
+    n_skew = int(os.environ.get("BENCH_SKEW_ROWS", str(max(200_000, int(240_000_000 * sf)))))
     _skew_cache: list = []
 
     def _skew_frame():
@@ -275,13 +279,29 @@ def main() -> None:
     # entry timings up to 7x; the repeat is one-sided-noise insurance
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
-    for name, fn in suite.items():
+    # the skew pair is a RATIO measurement: time it interleaved
+    # (direct, salted, direct, salted) so a CPU-phase swing between the two
+    # entries can't fake (or hide) the salting win — the same reason
+    # bench_scaling.py interleaves its levels
+    pair = "skew_direct" in suite and "skew_salted" in suite
+    seq = {k: v for k, v in suite.items() if not (pair and k.startswith("skew_"))}
+    for name, fn in seq.items():
         best = float("inf")
         for _ in range(repeat):
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    if pair:
+        bd = bs = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            suite["skew_direct"]()
+            bd = min(bd, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            suite["skew_salted"]()
+            bs = min(bs, time.perf_counter() - t0)
+        timings["skew_direct"], timings["skew_salted"] = round(bd, 3), round(bs, 3)
 
     total = round(sum(timings.values()), 3)
     # scale-stress entries run deliberately oversized inputs (minhash_scale:
