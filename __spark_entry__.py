@@ -592,6 +592,69 @@ def q_strip_spans(spark, sf_dir):
     return strip_duplicate_spans(_t(spark, sf_dir, "documents"), k=5, min_count=2)
 
 
+def q_cap_source(spark, sf_dir):
+    """Per-source document cap (operators/sampling.py::cap_per_group) —
+    the per-domain page cap of web curation, keep <= 10 docs per source by
+    deterministic md5 order. Runs the skew-safe TWO-phase plan
+    (n_salts=4), which the tests prove row-identical to the one-phase
+    window; the oracle is the plain one-phase ROW_NUMBER."""
+    from pystreamfs_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    out = cap_per_group(d, group_col="source", cap=10, key_col="doc_id", n_salts=4)
+    return out.select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+def q_vocab_top(spark, sf_dir):
+    """Corpus vocabulary builder (operators/tfidf.py::build_vocab): top-20
+    tokens by occurrence with dense deterministic ids — exact integer
+    counts and a total (count DESC, token ASC) order, so the compare is
+    exact."""
+    from pystreamfs_spark.operators.tfidf import build_vocab
+
+    v = build_vocab(_t(spark, sf_dir, "documents"), size=20, min_df=2)
+    return v.select(
+        "token",
+        F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        F.col("doc_freq").cast("bigint").alias("doc_freq"),
+        F.col("token_id").cast("bigint").alias("token_id"),
+    )
+
+
+def q_ngram_common(spark, sf_dir):
+    """Cross-document 3-gram commonness (operators/quality.py::
+    ngram_novelty) — the templatedness signal: share of each doc's
+    distinct 3-grams that appear in >= 1 other document. Exact integer
+    counts, one IEEE division."""
+    from pystreamfs_spark.operators.quality import ngram_novelty
+
+    out = ngram_novelty(_t(spark, sf_dir, "documents"), k=3, min_other_docs=1)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("common_grams").cast("bigint").alias("common_grams"),
+        "common_frac",
+    )
+
+
+def q_quality_band(spark, sf_dir):
+    """Global percentile quality gate (operators/quality.py::
+    percentile_band): keep the middle [25%, 75%) of docs ranked by the
+    quality scalar, tie-broken by doc_id — a deterministic total order on
+    a fixed expression tree evaluated identically in both engines (the
+    doc_quality oracle proves the scalar; the budget_select precedent
+    proves ordering on it). Output q rounded for display only — selection
+    uses the unrounded value."""
+    from pystreamfs_spark.functions import text as T
+    from pystreamfs_spark.operators.quality import percentile_band
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.quality_score(F.col("text")).alias("qv")
+    )
+    out = percentile_band(d, "qv", 0.25, 0.75, id_col="doc_id")
+    return out.select("doc_id", F.round("qv", 6).alias("q"))
+
+
 def q_simhash(spark, sf_dir):
     from pystreamfs_spark.operators.dedup import simhash
 
@@ -1134,9 +1197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new operator gets an immediate driver row), and the rows-only
         # bm25_top (r04-checked).
         # ofs_weights/prequential_ofs stay as the §2 kernel anchors.
-        # r06 rotation demand (execute next round): IN — the 6 NEW r05
+        # r06 rotation demand (execute next round): IN — the 10 NEW r05
         # tail oracles (strip_spans, budget_select, mix_sources,
-        # lexicon_score, semantic_dedup, leak_split; each carries a
+        # lexicon_score, semantic_dedup, leak_split, cap_source,
+        # vocab_top, ngram_common, quality_band; each carries a
         # three-scale local DuckDB proof) +
         # every oracled entry rotated out in r05 whose last driver row is
         # then one-round-stale (asof_join, strict_prefix, hourly,
@@ -1220,6 +1284,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon_score": q_lexicon_score,  # NEW r05, oracled; rotates into the r06 window
         "semantic_dedup": q_semantic_dedup,  # NEW r05, oracled; rotates into the r06 window
         "leak_split": q_leak_split,  # NEW r05, oracled; rotates into the r06 window
+        "cap_source": q_cap_source,  # NEW r05, oracled; rotates into the r06 window
+        "vocab_top": q_vocab_top,  # NEW r05, oracled; rotates into the r06 window
+        "ngram_common": q_ngram_common,  # NEW r05, oracled; rotates into the r06 window
+        "quality_band": q_quality_band,  # NEW r05, oracled; rotates into the r06 window
         "bm25_top": q_bm25_top,  # rows-only: ln-idf is transcendental
         "resized_features": q_resized_features,
         "multimodal_features": q_multimodal_features,
@@ -2267,5 +2335,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(txt, '{_PHONE_SQL}')) AS INT) AS n_phones,
                    md5(regexp_replace(regexp_replace(txt, '{_EMAIL_SQL}', '<EMAIL>', 'g'), '{_PHONE_SQL}', '<PHONE>', 'g')) AS masked_fp
             FROM aug
+        """,
+        "cap_source": """
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 10
+        """,
+        "vocab_top": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            tf AS (SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+                   FROM tok GROUP BY token),
+            cut AS (SELECT * FROM tf WHERE doc_freq >= 2
+                    ORDER BY n_occurrences DESC, token ASC LIMIT 20)
+            SELECT token,
+                   CAST(n_occurrences AS BIGINT) AS n_occurrences,
+                   CAST(doc_freq AS BIGINT) AS doc_freq,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) - 1 AS BIGINT) AS token_id
+            FROM cut
+        """,
+        "ngram_common": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            g0 AS (SELECT doc_id,
+                          CASE WHEN len(t) >= 3
+                               THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+                               ELSE CAST([] AS VARCHAR[]) END AS grams
+                   FROM toks),
+            g AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g0),
+            freq AS (SELECT gram, COUNT(*) AS dfreq FROM g GROUP BY gram),
+            tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+            com AS (SELECT g.doc_id, COUNT(*) AS common_grams
+                    FROM g JOIN freq USING (gram) WHERE dfreq >= 2 GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(tot.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(com.common_grams, 0) AS BIGINT) AS common_grams,
+                   COALESCE(CAST(com.common_grams AS DOUBLE)
+                            / CAST(NULLIF(tot.n_grams, 0) AS DOUBLE), 0.0) AS common_frac
+            FROM documents d
+            LEFT JOIN tot ON d.doc_id = tot.doc_id
+            LEFT JOIN com ON d.doc_id = com.doc_id
+        """,
+        "quality_band": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(len(list_filter({_TOKS}, t -> list_contains({sw}, t))) AS DOUBLE)
+                       / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS swr,
+                     CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+                     CAST(length(text) AS DOUBLE) / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS cpt
+              FROM documents),
+            q AS (SELECT doc_id,
+                         0.4 * least(swr * 4.0, 1.0)
+                       + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+                       + 0.3 * (CASE WHEN cpt >= 3.0 AND cpt <= 12.0 THEN 1.0 ELSE 0.0 END) AS qv
+                  FROM s),
+            r AS (SELECT doc_id, qv,
+                         ROW_NUMBER() OVER (ORDER BY qv, doc_id) - 1 AS rn,
+                         COUNT(*) OVER () AS n
+                  FROM q)
+            SELECT doc_id, ROUND(qv, 6) AS q FROM r
+            WHERE rn >= CAST(FLOOR(0.25 * n) AS BIGINT) AND rn < CAST(FLOOR(0.75 * n) AS BIGINT)
         """,
     }

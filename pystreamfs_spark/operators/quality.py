@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pystreamfs_spark.functions.text import shingles_from_tokens, tokens
@@ -201,4 +201,122 @@ def decontaminate(
             F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
             (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
         )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_other_docs: int = 1,
+) -> DataFrame:
+    """Cross-document commonness of each document's k-grams — the
+    "templatedness" signal of web curation: a page whose 3-grams mostly
+    appear in other pages is boilerplate/SEO-mill material even when no
+    single near-duplicate partner exists (so MinHash/SimHash never pair
+    it).
+
+    For every document: ``n_grams`` distinct k-grams, ``common_grams`` of
+    those appearing in at least ``min_other_docs`` OTHER documents, and
+    ``common_frac = common_grams / n_grams`` (novelty is its complement).
+    Documents with fewer than k tokens have no k-grams and report
+    (0, 0, 0.0). Counts are exact integers, the fraction one IEEE division
+    — bit-identical in any engine.
+
+    Plan shape at 100 TB: the (doc, gram) distinct runs TWICE — once under
+    the gram-keyed doc-frequency aggregate (map-side-combined, shuffled
+    volume O(distinct gram)) and once as the probe side of the membership
+    join (the two subtrees shuffle on different keys, so ReuseExchange
+    cannot dedupe them — the same two-pass shape as tf_idf); the join's
+    flagged output collapses into ONE per-doc aggregate carrying both
+    counts. Stopword-grade grams are the classic hot keys of the join and
+    here they are exactly the signal, so they cannot be cut — the join is
+    equi on the gram and AQE skew-splittable. Nothing is collected; no
+    window.
+    """
+    if min_other_docs < 1:
+        raise ValueError("min_other_docs must be >= 1")
+    grams = _gram_table(df, text_col, id_col, k).distinct()
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    # gram is in >= min_other_docs OTHER docs <=> doc_freq >= min_other + 1
+    # (the doc itself always counts once in the distinct table)
+    common = freq.where(F.col("__df") >= min_other_docs + 1).select(
+        "gram", F.lit(1).alias("__c")
+    )
+    per_doc = (
+        grams.join(common, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__c").alias("common_grams"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("common_grams", F.lit(0)).alias("common_grams"),
+            F.coalesce(
+                F.col("common_grams").cast("double")
+                / F.nullif(F.col("n_grams"), F.lit(0)).cast("double"),
+                F.lit(0.0),
+            ).alias("common_frac"),
+        )
+    )
+
+
+def percentile_band(
+    df: DataFrame,
+    score_col: str,
+    lo: float,
+    hi: float,
+    id_col: str = "doc_id",
+    approx: bool = False,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Keep the rows whose score falls in the global percentile band
+    [lo, hi) — the rank-based quality gate ("drop the worst 20% and the
+    suspiciously-perfect top 1%") that adapts to the corpus instead of a
+    hand-tuned absolute threshold.
+
+    Exact mode ranks every row by ``(score, id)`` — a deterministic total
+    order, so the survivors are reproducible and SQL-oracle-exact — and
+    keeps ranks in [floor(lo·N), floor(hi·N)). That global sort
+    concentrates in one window task: correct at any size, but the wrong
+    plan for 100 TB.
+
+    ``approx=True`` is the scale path: per-score-band thresholds come from
+    one ``percentile_approx`` aggregate (a mergeable sketch, map-side
+    combined, driver sees one row) broadcast back into a map-only range
+    filter — no global sort, no shuffle of the corpus. The band boundary
+    is then approximate (±relative_error of N rows) and rows TIED on the
+    boundary score are all kept or all dropped together, so the two modes
+    agree only up to boundary ties — use exact mode for oracles, approx
+    for production scale."""
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError("need 0 <= lo < hi <= 1")
+    score = F.col(score_col)
+    if approx:
+        acc = int(round(1.0 / relative_error))
+        q = df.agg(
+            F.percentile_approx(score, F.lit(lo), F.lit(acc)).alias("__lo"),
+            F.percentile_approx(score, F.lit(hi), F.lit(acc)).alias("__hi"),
+        )
+        out = df.crossJoin(F.broadcast(q)).where(
+            (score >= F.col("__lo")) & ((F.lit(hi) >= 1.0) | (score < F.col("__hi")))
+        )
+        return out.drop("__lo", "__hi")
+    cols = df.columns
+    w = Window.orderBy(score.asc(), F.col(id_col).asc())
+    cnt = df.agg(F.count(F.lit(1)).alias("__n"))
+    lo_rank = F.floor(F.lit(float(lo)) * F.col("__n")).cast("long")
+    hi_rank = F.floor(F.lit(float(hi)) * F.col("__n")).cast("long")
+    return (
+        df.withColumn("__rn", (F.row_number().over(w) - 1).cast("long"))
+        .crossJoin(F.broadcast(cnt))
+        .where((F.col("__rn") >= lo_rank) & (F.col("__rn") < hi_rank))
+        .select(*cols)
     )

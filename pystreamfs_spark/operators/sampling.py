@@ -21,7 +21,7 @@ The hash bucket is the integer value of the first 8 md5 hex chars of
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -179,6 +179,57 @@ def mix_to_proportions(
     )
     b = hash_bucket(F.col(key_col), n_buckets, salt)
     return df.join(F.broadcast(thr), source_col).where(b < F.col("__thr")).drop("__thr")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_col: str = "doc_id",
+    salt: str = "cap",
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by deterministic md5
+    order — the per-domain document cap of web curation ("no single host
+    may contribute more than N pages"), which bounds any one source's
+    influence on the training mixture without an RNG.
+
+    Selection order is ``(md5(salt || key), key)`` — uniform-random-like
+    but reproducible at any parallelism and expressible as an exact SQL
+    oracle (``ROW_NUMBER() OVER (PARTITION BY group ORDER BY md5 rule)``).
+    Unlike the rate-based operators above, a cap is NOT growth-stable by
+    nature: a newly ingested row with a smaller hash can displace a
+    previous survivor — inherent to "at most N", not to this
+    implementation.
+
+    Plan shape at 100 TB: the default is one shuffle on the group plus a
+    bounded per-group sort. A viral domain with 10^9 pages pins that sort
+    into one task, so for skewed group sizes pass ``n_salts``: phase 1
+    ranks within (group, hash-salt) and keeps ``cap`` per sub-group — the
+    hot group's rows split across ``n_salts`` tasks — phase 2 re-ranks the
+    ≤ cap·n_salts survivors per group. Exact for any top-N because the
+    global top ``cap`` of a group is contained in the union of its
+    per-salt top ``cap``'s; asserted equal to the one-phase plan in tests.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    key = F.col(key_col)
+    order = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    cols = df.columns
+    if n_salts is not None:
+        if n_salts < 2:
+            raise ValueError("n_salts must be >= 2 (or None for the one-phase plan)")
+        sub = F.pmod(F.xxhash64(key.cast("string")), F.lit(n_salts))
+        w1 = Window.partitionBy(F.col(group_col), sub).orderBy(order, key)
+        df = df.withColumn("__rn1", F.row_number().over(w1)).where(
+            F.col("__rn1") <= cap
+        )
+    w = Window.partitionBy(group_col).orderBy(order, key)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .select(*cols)
+    )
 
 
 def leakage_safe_split(

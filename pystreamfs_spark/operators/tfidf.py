@@ -133,3 +133,61 @@ def top_terms(
         .where(F.col("rank") <= n)
         .select(id_col, "token", "tf", "doc_freq", "score", "rank")
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int | None = None,
+    min_df: int = 1,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Corpus vocabulary with frequency stats and a dense deterministic
+    token id — the token-inventory step before tokenizer training or
+    embedding-table sizing.
+
+    Output: (token, n_occurrences, doc_freq, token_id), token_id dense in
+    [0, |vocab|) ordered by (n_occurrences DESC, token ASC) — a total
+    order, so ids are identical across engines and runs. ``min_df`` drops
+    hapax-grade noise; ``max_df_frac`` drops stopword-grade tokens
+    appearing in more than that fraction of documents; ``size`` keeps the
+    most frequent ``size`` tokens.
+
+    Plan shape at 100 TB: the token explode feeds ONE map-side-combined
+    aggregate keyed by token (shuffled volume O(distinct (doc,token)) for
+    doc_freq partials — tf partials combine to O(distinct token)); the
+    doc-count side joins as a single-row broadcast. The final id
+    assignment is a row_number over the SURVIVING vocabulary — vocab-sized
+    (bounded by ``size``), never corpus-sized; with ``size=None`` on an
+    open-ended corpus that window is the one place the plan concentrates,
+    so set ``size`` (any real tokenizer does)."""
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    if max_df_frac is not None and not 0.0 < max_df_frac <= 1.0:
+        raise ValueError("max_df_frac must be in (0, 1]")
+    if size is not None and size < 1:
+        raise ValueError("size must be >= 1")
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    stats = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col(id_col)).alias("doc_freq"),
+    )
+    stats = stats.where(F.col("doc_freq") >= min_df)
+    if max_df_frac is not None:
+        n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+        stats = stats.crossJoin(F.broadcast(n_docs)).where(
+            F.col("doc_freq")
+            <= F.floor(F.lit(float(max_df_frac)) * F.col("__n_docs"))
+        ).drop("__n_docs")
+    order = [F.col("n_occurrences").desc(), F.col("token").asc()]
+    if size is not None:
+        # TakeOrdered-style parallel cut before the single-task id window
+        stats = stats.orderBy(*order).limit(size)
+    w = Window.orderBy(*order)
+    return stats.select(
+        "token",
+        "n_occurrences",
+        "doc_freq",
+        (F.row_number().over(w) - 1).alias("token_id"),
+    )

@@ -1441,3 +1441,115 @@ def test_leakage_safe_split_custom_fractions_partition(spark):
     counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert sum(counts.values()) == 200 and set(counts) == {"train", "test"}
     assert abs(counts["train"] - 100) < 40            # md5-binomial tolerance
+
+
+def test_cap_per_group_counts_and_salted_equivalence(spark):
+    from pystreamfs_spark.operators.sampling import cap_per_group
+
+    # skewed group sizes: g0 has 900 rows, g1 has 40, g2 has 3
+    rows = (
+        [(i, "g0") for i in range(900)]
+        + [(1000 + i, "g1") for i in range(40)]
+        + [(2000 + i, "g2") for i in range(3)]
+    )
+    d = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = cap_per_group(d, group_col="source", cap=25, key_col="doc_id")
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 25, "g1": 25, "g2": 3}
+    assert out.columns == d.columns
+    # deterministic: rerun selects the identical rows
+    again = cap_per_group(d, group_col="source", cap=25, key_col="doc_id")
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    # the skew-safe two-phase plan selects EXACTLY the same rows
+    salted = cap_per_group(d, group_col="source", cap=25, key_col="doc_id", n_salts=4)
+    assert out.exceptAll(salted).count() == 0 and salted.exceptAll(out).count() == 0
+    with pytest.raises(ValueError):
+        cap_per_group(d, group_col="source", cap=0, key_col="doc_id")
+    with pytest.raises(ValueError):
+        cap_per_group(d, group_col="source", cap=5, key_col="doc_id", n_salts=1)
+
+
+def test_build_vocab_order_filters_and_ids(spark):
+    from pystreamfs_spark.operators.tfidf import build_vocab
+
+    d = spark.createDataFrame(
+        [
+            (0, "aa bb aa cc"),      # aa x2
+            (1, "aa bb dd"),
+            (2, "aa ee"),
+        ],
+        "doc_id bigint, text string",
+    )
+    v = {r.token: r for r in build_vocab(d).collect()}
+    assert v["aa"].n_occurrences == 4 and v["aa"].doc_freq == 3
+    assert v["bb"].n_occurrences == 2 and v["bb"].doc_freq == 2
+    # ids dense by (count desc, token asc): aa=0, bb=1, then cc/dd/ee alphabetical
+    assert v["aa"].token_id == 0 and v["bb"].token_id == 1
+    assert [v[t].token_id for t in ("cc", "dd", "ee")] == [2, 3, 4]
+    # min_df cuts hapax tokens
+    vocab2 = build_vocab(d, min_df=2)
+    assert {r.token for r in vocab2.collect()} == {"aa", "bb"}
+    # max_df_frac cuts stopword-grade tokens (aa is in 3/3 docs)
+    no_stop = build_vocab(d, max_df_frac=0.7)
+    assert "aa" not in {r.token for r in no_stop.collect()}
+    # size keeps the most frequent, ids still dense from 0
+    top2 = build_vocab(d, size=2).collect()
+    assert sorted((r.token, r.token_id) for r in top2) == [("aa", 0), ("bb", 1)]
+    with pytest.raises(ValueError):
+        build_vocab(d, min_df=0)
+    with pytest.raises(ValueError):
+        build_vocab(d, max_df_frac=1.5)
+
+
+def test_ngram_novelty_counts(spark):
+    from pystreamfs_spark.operators.quality import ngram_novelty
+
+    # docs 0 and 1 share exactly the 3-gram "x y z"; doc 2 is all-novel;
+    # doc 3 is too short for any 3-gram
+    d = spark.createDataFrame(
+        [
+            (0, "x y z p q"),   # grams: "x y z","y z p","z p q"
+            (1, "a x y z b"),   # grams: "a x y","x y z","y z b"
+            (2, "m n o r"),     # grams: "m n o","n o r"
+            (3, "u v"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(d, k=3).collect()}
+    assert (out[0].n_grams, out[0].common_grams) == (3, 1)
+    assert (out[1].n_grams, out[1].common_grams) == (3, 1)
+    assert out[0].common_frac == pytest.approx(1 / 3)
+    assert (out[2].n_grams, out[2].common_grams, out[2].common_frac) == (2, 0, 0.0)
+    assert (out[3].n_grams, out[3].common_grams, out[3].common_frac) == (0, 0, 0.0)
+    # min_other_docs=2: "x y z" is only in 1 other doc -> nothing common
+    strict = {r.doc_id: r for r in ngram_novelty(d, k=3, min_other_docs=2).collect()}
+    assert strict[0].common_grams == 0
+    with pytest.raises(ValueError):
+        ngram_novelty(d, min_other_docs=0)
+
+
+def test_percentile_band_exact_and_approx(spark):
+    from pystreamfs_spark.operators.quality import percentile_band
+
+    d = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(100)], "doc_id bigint, score double"
+    )
+    out = percentile_band(d, "score", 0.2, 0.5)
+    got = sorted(r.score for r in out.collect())
+    assert got == [float(s) for s in range(20, 50)]   # scores are a permutation of 0..99
+    assert out.columns == d.columns
+    # hi=1.0 keeps the maximum row
+    top = percentile_band(d, "score", 0.9, 1.0)
+    assert sorted(r.score for r in top.collect()) == [float(s) for s in range(90, 100)]
+    # approx mode agrees with exact up to the boundary-rank convention
+    # (percentile_approx is nearest-rank; the exact mode is half-open rank)
+    ap = set(r.doc_id for r in percentile_band(d, "score", 0.2, 0.5, approx=True).collect())
+    ex = set(r.doc_id for r in out.collect())
+    assert len(ap ^ ex) <= 2 and len(ap & ex) >= 28
+    # ties on the boundary score: all-or-nothing in approx mode (no partial tie split)
+    t = spark.createDataFrame([(i, 1.0) for i in range(10)] + [(10 + i, 2.0) for i in range(10)],
+                              "doc_id bigint, score double")
+    ap_t = percentile_band(t, "score", 0.0, 0.5, approx=True).collect()
+    assert all(r.score == 1.0 for r in ap_t) and len(ap_t) in (0, 10)
+    with pytest.raises(ValueError):
+        percentile_band(d, "score", 0.5, 0.2)
