@@ -655,6 +655,39 @@ def q_quality_band(spark, sf_dir):
     return out.select("doc_id", F.round("qv", 6).alias("q"))
 
 
+def q_encode_vocab(spark, sf_dir):
+    """Tokenizer-apply (operators/tfidf.py::encode_with_vocab): encode
+    every document as its token-id sequence under the corpus top-100
+    vocabulary (min_df=2), OOV = -1. Runs the exact join plan (the
+    broadcast-dict mapInPandas scale path is proven row-identical in
+    tests). The id sequence is emitted as a CSV string twin because the
+    driver canonicalizer cannot hash list cells; counts are exact
+    integers."""
+    from pystreamfs_spark.operators.tfidf import build_vocab, encode_with_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    v = build_vocab(d, size=100, min_df=2)
+    out = encode_with_vocab(d, v)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        F.array_join(F.transform("token_ids", lambda x: x.cast("string")), ",").alias(
+            "ids_csv"
+        ),
+    )
+
+
+def q_unigram_lm(spark, sf_dir):
+    """CCNet-style unigram LM quality (operators/quality.py::
+    unigram_logprob). Rows-only: the per-token ln is transcendental (same
+    contract as bm25_top); NumPy parity is pinned in tests. n_tokens is
+    exact."""
+    from pystreamfs_spark.operators.quality import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_simhash(spark, sf_dir):
     from pystreamfs_spark.operators.dedup import simhash
 
@@ -1197,11 +1230,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new operator gets an immediate driver row), and the rows-only
         # bm25_top (r04-checked).
         # ofs_weights/prequential_ofs stay as the §2 kernel anchors.
-        # r06 rotation demand (execute next round): IN — the 10 NEW r05
+        # r06 rotation demand (execute next round): IN — the 11 NEW r05
         # tail oracles (strip_spans, budget_select, mix_sources,
         # lexicon_score, semantic_dedup, leak_split, cap_source,
-        # vocab_top, ngram_common, quality_band; each carries a
-        # three-scale local DuckDB proof) +
+        # vocab_top, ngram_common, quality_band, encode_vocab; each
+        # carries a three-scale local DuckDB proof) + first slots for the
+        # new rows-only unigram_lm and pq_ann +
         # every oracled entry rotated out in r05 whose last driver row is
         # then one-round-stale (asof_join, strict_prefix, hourly,
         # session_window, rollup_revenue, event_pivot, fscr_sql,
@@ -1288,6 +1322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": q_vocab_top,  # NEW r05, oracled; rotates into the r06 window
         "ngram_common": q_ngram_common,  # NEW r05, oracled; rotates into the r06 window
         "quality_band": q_quality_band,  # NEW r05, oracled; rotates into the r06 window
+        "encode_vocab": q_encode_vocab,  # NEW r05, oracled; rotates into the r06 window
+        "unigram_lm": q_unigram_lm,  # NEW r05, rows-only: ln is transcendental
         "bm25_top": q_bm25_top,  # rows-only: ln-idf is transcendental
         "resized_features": q_resized_features,
         "multimodal_features": q_multimodal_features,
@@ -2397,5 +2433,23 @@ def oracle_sql() -> dict[str, str]:
                   FROM q)
             SELECT doc_id, ROUND(qv, 6) AS q FROM r
             WHERE rn >= CAST(FLOOR(0.25 * n) AS BIGINT) AND rn < CAST(FLOOR(0.75 * n) AS BIGINT)
+        """,
+        "encode_vocab": f"""
+            WITH tok0 AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS token, generate_subscripts(t, 1) AS pos
+                    FROM tok0),
+            tf AS (SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+                   FROM tok GROUP BY token),
+            cut AS (SELECT * FROM tf WHERE doc_freq >= 2
+                    ORDER BY n_occurrences DESC, token ASC LIMIT 100),
+            v AS (SELECT token,
+                         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) - 1 AS token_id
+                  FROM cut)
+            SELECT tok.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                   string_agg(CAST(COALESCE(v.token_id, -1) AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+            FROM tok LEFT JOIN v USING (token)
+            GROUP BY tok.doc_id
         """,
     }

@@ -268,6 +268,55 @@ def ngram_novelty(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality score: the mean per-token log
+    probability of each document under the corpus's own unigram
+    distribution. Boilerplate and keyword-stuffed pages score HIGH (common
+    tokens), gibberish and OCR noise score LOW (rare tokens) — both tails
+    are cut by composing with :func:`percentile_band`, which is exactly the
+    CCNet recipe with the (unavailable-here) KenLM 5-gram replaced by the
+    corpus unigram LM.
+
+        logp(doc) = (1/n) · Σ_t tf(doc,t) · ln(count(t) / total)
+
+    The ln is transcendental, so scores are engine-internal (rows-only
+    driver check + NumPy parity test — same contract as bm25). Counts in
+    the plan are exact integers.
+
+    Plan shape at 100 TB: one token explode feeding the per-(doc,token) tf
+    aggregate (map-side combined); the token-count side is a second
+    aggregate off the same tf relation (shuffle O(distinct token)); the
+    corpus total joins as a single-row broadcast; the tf–logp equi-join is
+    AQE-skew-splittable on stopword-grade hot tokens; ONE final per-doc
+    aggregate. No window, no collect, no Python.
+    """
+    from pystreamfs_spark.operators.tfidf import term_frequencies
+
+    tf = term_frequencies(df, text_col, id_col)
+    counts = tf.groupBy("token").agg(F.sum("tf").alias("__ct"))
+    total = counts.agg(F.sum("__ct").alias("__total"))
+    logp = counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.log(F.col("__ct").cast("double") / F.col("__total").cast("double")).alias("__lp"),
+    )
+    return (
+        tf.join(logp, "token")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf").cast("double") * F.col("__lp"))
+                / F.sum("tf").cast("double")
+            ).alias("avg_logprob"),
+        )
+        .select(id_col, "n_tokens", "avg_logprob")
+    )
+
+
 def percentile_band(
     df: DataFrame,
     score_col: str,

@@ -191,3 +191,116 @@ def build_vocab(
         "doc_freq",
         (F.row_number().over(w) - 1).alias("token_id"),
     )
+
+
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+    strategy: str = "join",
+) -> DataFrame:
+    """Tokenizer-apply: encode each document as its dense token-id sequence
+    under a :func:`build_vocab`-shaped vocabulary (columns ``token``,
+    ``token_id``) — the text→ids step that turns a curated corpus into
+    trainable sequences (feeds chunk_by_tokens / pack_token_stream).
+    Out-of-vocabulary tokens map to ``oov_id``.
+
+    Output: (id, n_tokens, n_oov, token_ids array<long>), position order
+    preserved.
+
+    Two plans, asserted row-identical in tests:
+
+    - ``strategy="join"`` (default, the exact-SQL-oracle path): posexplode
+      → left equi-join on the token → re-assemble per doc via
+      sort_array(collect_list(struct(pos, id))). The re-assembly shuffles
+      O(occurrences) — corpus-sized — which is the price of staying in
+      pure relational ops.
+    - ``strategy="map"`` (the 100 TB path): the vocab is collected once
+      (vocab-sized, bounded by build_vocab's ``size`` — same contract as
+      the k-means codebook collect in ann.py) and shipped as a broadcast
+      dict into ONE mapInPandas pass: tokenize + dict-lookup per Arrow
+      batch, ZERO shuffle, no explode, no re-assembly. Python-side
+      tokenization replicates the engine's normalize() exactly for ASCII
+      (Java ``\\s``/lower vs Python re semantics agree on the explicit
+      ``[ \\t\\n\\x0B\\f\\r]`` class; exotic-unicode case mappings are the
+      documented caveat) — the parity test pins the two strategies equal
+      on the shared corpus fixture.
+    """
+    if strategy not in ("join", "map"):
+        raise ValueError("strategy must be 'join' or 'map'")
+    if strategy == "map":
+        return _encode_map(df, vocab, text_col, id_col, oov_id)
+    # NULL text == empty text (one empty token), matching the map path;
+    # posexplode would otherwise silently drop the whole document
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("pos", "token"),
+    )
+    v = vocab.select("token", F.col("token_id").cast("long").alias("__tid"))
+    enc = tok.join(F.broadcast(v), "token", "left")
+    return (
+        enc.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__tid").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "__tid"))),
+                lambda s: F.coalesce(s["__tid"], F.lit(int(oov_id)).cast("long")),
+            ).alias("token_ids"),
+        )
+        .select(id_col, "n_tokens", "n_oov", "token_ids")
+    )
+
+
+def _encode_map(
+    df: DataFrame, vocab: DataFrame, text_col: str, id_col: str, oov_id: int
+) -> DataFrame:
+    """Broadcast-dict encode: one mapInPandas pass, zero shuffle."""
+    import re
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    # vocab-sized collect (bounded by build_vocab's size cut)
+    mapping = {r["token"]: int(r["token_id"]) for r in vocab.select("token", "token_id").collect()}
+    bc = df.sparkSession.sparkContext.broadcast(mapping)
+    oov = int(oov_id)
+    # exact twin of functions/text.py::normalize for the Java \s class
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
+    in_fields = df.select(F.col(id_col), F.col(text_col)).schema
+    out_schema = StructType(
+        [
+            in_fields[0],
+            StructField("n_tokens", LongType(), False),
+            StructField("n_oov", LongType(), False),
+            StructField("token_ids", ArrayType(LongType(), False), False),
+        ]
+    )
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        m = bc.value
+        for pdf in batches:
+            ids, n_tok, n_oov, seqs = [], [], [], []
+            for rid, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                toks = ws.sub(" ", ("" if text is None else text).lower()).strip().split(" ")
+                seq = [m.get(t, oov) for t in toks]
+                ids.append(rid)
+                n_tok.append(len(seq))
+                n_oov.append(sum(1 for t in toks if t not in m))
+                seqs.append(seq)
+            yield pd.DataFrame(
+                {id_col: ids, "n_tokens": n_tok, "n_oov": n_oov, "token_ids": seqs}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        encode_batches, schema=out_schema
+    )

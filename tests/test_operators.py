@@ -1553,3 +1553,57 @@ def test_percentile_band_exact_and_approx(spark):
     assert all(r.score == 1.0 for r in ap_t) and len(ap_t) in (0, 10)
     with pytest.raises(ValueError):
         percentile_band(d, "score", 0.5, 0.2)
+
+
+def test_encode_with_vocab_join_and_map_identical(spark):
+    from pystreamfs_spark.operators.tfidf import build_vocab, encode_with_vocab
+
+    d = spark.createDataFrame(
+        [
+            (0, "aa bb aa cc"),
+            (1, "Aa   bb\tdd"),     # normalization: case + whitespace runs
+            (2, "zz yy"),            # all-OOV under min_df=2
+            (3, None),               # NULL text == empty text
+        ],
+        "doc_id bigint, text string",
+    )
+    v = build_vocab(d, min_df=2)     # vocab: aa(4x,id 0), bb(2x,id 1)
+    out = {r.doc_id: r for r in encode_with_vocab(d, v).collect()}
+    assert list(out[0].token_ids) == [0, 1, 0, -1] and out[0].n_oov == 1
+    assert list(out[1].token_ids) == [0, 1, -1] and out[1].n_tokens == 3
+    assert list(out[2].token_ids) == [-1, -1] and out[2].n_oov == 2
+    assert out[3].n_tokens == 1 and list(out[3].token_ids) == [-1]
+    # custom oov id
+    o9 = {r.doc_id: r for r in encode_with_vocab(d, v, oov_id=9).collect()}
+    assert list(o9[0].token_ids) == [0, 1, 0, 9]
+    # the zero-shuffle broadcast-dict plan produces IDENTICAL rows
+    mp = {r.doc_id: r for r in encode_with_vocab(d, v, strategy="map").collect()}
+    for k in out:
+        assert (
+            list(mp[k].token_ids) == list(out[k].token_ids)
+            and mp[k].n_tokens == out[k].n_tokens
+            and mp[k].n_oov == out[k].n_oov
+        ), k
+    with pytest.raises(ValueError):
+        encode_with_vocab(d, v, strategy="rdd")
+
+
+def test_unigram_logprob_numpy_parity(spark):
+    from collections import Counter
+
+    from pystreamfs_spark.operators.quality import unigram_logprob
+
+    docs = {0: "aa bb aa cc", 1: "aa bb dd", 2: "aa ee aa aa"}
+    d = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob(d).collect()}
+    counts = Counter(t for txt in docs.values() for t in txt.split())
+    total = sum(counts.values())
+    for i, txt in docs.items():
+        toks = txt.split()
+        want = float(np.mean([np.log(counts[t] / total) for t in toks]))
+        assert out[i].n_tokens == len(toks)
+        assert out[i].avg_logprob == pytest.approx(want, rel=1e-12), i
+    # common-token doc scores HIGHER than rare-token doc
+    assert out[2].avg_logprob > out[1].avg_logprob
