@@ -249,3 +249,42 @@ def test_semantic_dedup_assignment_is_map_only_and_pairs_shuffle_on_cell(spark, 
     # if Spark broadcasts); it must NOT explode into a cartesian
     assert count_exchanges(edges) - n_assign <= 2, explain_str(edges)[:3000]
     assert "CartesianProduct" not in explain_str(edges), explain_str(edges)[:3000]
+
+
+def test_encode_map_strategy_zero_shuffle(spark, sf_dir):
+    """The broadcast-dict encode path must stay map-only: one mapInPandas
+    over the scan, ZERO exchanges (the join path's corpus-sized re-assembly
+    shuffle is exactly what it exists to avoid)."""
+    from pystreamfs_spark.operators.tfidf import build_vocab, encode_with_vocab
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = build_vocab(d, size=50, min_df=2)
+    out = encode_with_vocab(d, v, strategy="map")
+    assert count_exchanges(out) == 0, explain_str(out)[:2000]
+
+
+def test_ngram_novelty_explode_budget(spark, sf_dir):
+    """ngram_novelty's (doc, gram) distinct feeds two differently-keyed
+    subtrees (doc-frequency agg + membership-join probe), so the gram
+    explode may appear at most twice — the same two-pass ceiling as tf_idf;
+    a third appearance means the plan regressed to per-branch recompute."""
+    from pystreamfs_spark.operators.quality import ngram_novelty
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_novelty(d, k=3)
+    text = explain_str(out)
+    assert len(re.findall(r"\bGenerate explode", text)) <= 2, text[:3000]
+    assert "CartesianProduct" not in text
+
+
+def test_cap_per_group_salted_splits_hot_group(spark, sf_dir):
+    """The two-phase cap must rank within (group, salt) first — the window
+    spec has to carry BOTH partition keys so a hot group's sort never
+    lands in one task."""
+    from pystreamfs_spark.operators.sampling import cap_per_group
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cap_per_group(d, group_col="source", cap=5, key_col="doc_id", n_salts=8)
+    text = explain_str(out)
+    # phase-1 window partitions on (source, pmod(xxhash64(...)))
+    assert re.search(r"Window .*pmod", text) or "pmod" in text, text[:3000]
