@@ -24,3 +24,12 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine(a, b) with caller-precomputed norms — bit-identical to
+    :func:`cosine` (same dot fold, same ``na * nb`` product order), but a
+    pair join can fold each row's norm ONCE instead of once per partner:
+    3 array folds per pair drop to 1. Pass ``na = norm(a)`` computed on
+    the pre-join side."""
+    return dot(a, b) / (na * nb)

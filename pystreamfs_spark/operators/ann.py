@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pystreamfs_spark.functions.vectors import cosine
+from pystreamfs_spark.functions.vectors import cosine, cosine_with_norms, norm
 from pystreamfs_spark.operators.topk import top_k_per_group
 
 
@@ -40,11 +40,19 @@ def cosine_topk(
     """Exact top-k by cosine for each query vector (broadcast the queries).
     Output: (query_id, vec_id, cos, rk). Self-matches excluded when ids
     collide."""
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
-    scored = corpus.join(F.broadcast(q), corpus[id_col] != q[query_id_col]).select(
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__nq"),
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__nv"))
+    scored = c.join(F.broadcast(q), c[id_col] != q[query_id_col]).select(
         query_id_col,
         id_col,
-        cosine(F.col(vec_col), F.col("__qv")).alias("cos"),
+        # norms folded once per vector pre-join; bit-identical to cosine()
+        cosine_with_norms(
+            F.col(vec_col), F.col("__qv"), F.col("__nv"), F.col("__nq")
+        ).alias("cos"),
     )
     return top_k_per_group(scored, [query_id_col], "cos", k, tie_breakers=[id_col])
 
@@ -94,16 +102,20 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket. Recall trades against 2^n_planes bucket selectivity."""
-    cb = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes, dims))
+    cb = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes, dims)).withColumn(
+        "__nv", norm(F.col(vec_col))
+    )
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__nq"),
         lsh_bucket(F.col(vec_col), n_planes, dims).alias("__bucket"),
     )
     scored = cb.join(F.broadcast(qb), "__bucket").where(F.col(id_col) != F.col(query_id_col)).select(
         query_id_col,
         id_col,
-        cosine(F.col(vec_col), F.col("__qv")).alias("cos"),
+        # norms folded once per vector pre-join; bit-identical to cosine()
+        cosine_with_norms(F.col(vec_col), F.col("__qv"), F.col("__nv"), F.col("__nq")).alias("cos"),
     )
     return top_k_per_group(scored, [query_id_col], "cos", k, tie_breakers=[id_col])
 
@@ -357,10 +369,19 @@ def ivf_cosine_topk(
             ).alias("cell"),
         )
     )
+    cb = cb.withColumn("__nv", norm(F.col(vec_col)))
+    qb = qb.withColumn("__nq", norm(F.col("__qv")))
     scored = (
         cb.join(qb, "cell")
         .where(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
+        # norms folded once per vector pre-join; bit-identical to cosine()
+        .select(
+            query_id_col,
+            id_col,
+            cosine_with_norms(
+                F.col(vec_col), F.col("__qv"), F.col("__nv"), F.col("__nq")
+            ).alias("cos"),
+        )
     )
     return top_k_per_group(scored, [query_id_col], "cos", k, tie_breakers=[id_col])
 
@@ -375,13 +396,28 @@ def cosine_self_similar(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cos ≥ threshold) within LSH
     buckets — embedding-space dedup without the O(n²) cross join."""
-    b = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes, dims))
-    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket")
-    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket")
+    b = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes, dims)).withColumn(
+        "__n", norm(F.col(vec_col))
+    )
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"), "__bucket",
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"), "__bucket",
+    )
     return (
         a.join(c, "__bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        # norms folded once per vector pre-join; bit-identical to cosine()
+        .select(
+            "id_a",
+            "id_b",
+            cosine_with_norms(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            ).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 
@@ -419,9 +455,12 @@ def pq_codebooks(
 ) -> DataFrame:
     """Product-quantization codebooks: split the ``dims``-dim space into
     ``n_subspaces`` contiguous slices and train an independent ``n_codes``-
-    centroid L2 k-means per slice (:func:`kmeans_centroids(metric="l2")` —
-    deterministic md5-min init, classical monotone Lloyd). Output:
-    (sub, cell, __cv) with cell ids 1..n_codes per subspace.
+    centroid L2 k-means per slice (deterministic md5-min init, classical
+    Lloyd — the same update math as :func:`kmeans_centroids(metric="l2")`,
+    but all subspaces FUSED into one training relation so each iteration
+    is a single assignment + mean job instead of n_subspaces serialized
+    ones). Output: (sub, cell, __cv) with cell ids 1..n_codes per
+    subspace.
 
     Memory story (the reason PQ exists): a corpus vector compresses from
     dims×4 bytes to n_subspaces×1 byte of codes — 64-dim float32 → 4 bytes
@@ -436,24 +475,82 @@ def pq_codebooks(
             f"n_subspaces ({n_subspaces})"
         )
     dsub = dims // n_subspaces
-    books = None
-    for s in range(n_subspaces):
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub).alias("__sv"),
-        )
-        cent = kmeans_centroids(
-            sub,
-            n_cells=n_codes,
-            n_iters=n_iters,
-            id_col=id_col,
-            vec_col="__sv",
-            sample_fraction=sample_fraction,
-            metric="l2",
-        )
-        part = cent.select(F.lit(s).alias("sub"), "cell", "__cv")
-        books = part if books is None else books.unionByName(part)
-    return books
+    spark = corpus.sparkSession
+
+    # JOINT training: all subspaces in one (sub, id, __sv) relation, so each
+    # Lloyd iteration is ONE assignment + ONE mean job for every subspace —
+    # n_iters + 1 barrier jobs total, not n_subspaces × (n_iters + 1)
+    # driver-serialized ones. Per-subspace trainings are embarrassingly
+    # independent, which makes fusing them free: the assignment still ranks
+    # only against the row's OWN subspace codebook (the codebook side joins
+    # on ``sub``), and the mean aggregate keys on (sub, cell, pos).
+    train = corpus.select(F.col(id_col), F.col(vec_col)).where(F.col(vec_col).isNotNull())
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=42)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub).alias("__sv"),
+            )
+            for s in range(n_subspaces)
+        ]
+    )
+    sub_rows = train.select(
+        F.col(id_col), F.explode(slices).alias("__s")
+    ).select(F.col(id_col), F.col("__s.sub").alias("sub"), F.col("__s.__sv").alias("__sv"))
+    sub_rows = sub_rows.cache()
+    try:
+        # md5-min init picks the SAME n_codes vectors in every subspace
+        # (the hash depends only on the id), so one collect of the full
+        # vectors sliced driver-side is identical to per-subspace init
+        init = _surrogate_centroids(train, n_codes, id_col, vec_col).collect()
+        if not init:
+            raise ValueError(
+                "pq_codebooks: empty training set (corpus empty, all "
+                "vectors null, or sample_fraction too small)"
+            )
+        cent_rows = {
+            (s, int(r["cell"])): [float(x) for x in r["__cv"][s * dsub : (s + 1) * dsub]]
+            for r in init
+            for s in range(n_subspaces)
+        }
+        for _ in range(n_iters):
+            cdf = spark.createDataFrame(
+                [(s, c, v) for (s, c), v in cent_rows.items()],
+                "sub int, cell int, __cv array<double>",
+            )
+            books_by_sub = cdf.groupBy("sub").agg(
+                F.collect_list(F.struct("cell", "__cv")).alias("__cells")
+            )
+            assigned = (
+                sub_rows.join(F.broadcast(books_by_sub), "sub")
+                .withColumn("__best", F.try_element_at(_ranked_cells_l2("__sv"), F.lit(1)))
+                .select("sub", F.col("__best")["cell"].alias("cell"), "__sv")
+            )
+            means = (
+                assigned.select("sub", "cell", F.posexplode("__sv"))
+                .groupBy("sub", "cell", "pos")
+                .agg(F.avg("col").alias("m"))
+                .groupBy("sub", "cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("__cv")
+                )
+            )
+            new = {
+                (int(r["sub"]), int(r["cell"])): [float(x) for x in r["__cv"]]
+                for r in means.collect()
+            }
+            cent_rows = {k: new.get(k, v) for k, v in cent_rows.items()}  # empty cell → keep old
+    finally:
+        sub_rows.unpersist()
+    return spark.createDataFrame(
+        [(s, c, v) for (s, c), v in cent_rows.items()],
+        "sub int, cell int, __cv array<double>",
+    )
 
 
 def pq_encode(

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pystreamfs_spark.functions.vectors import cosine
+from pystreamfs_spark.functions.vectors import cosine_with_norms, norm
 from pystreamfs_spark.operators.ann import _ranked_cells, _surrogate_centroids
 from pystreamfs_spark.operators.graph import connected_components
 
@@ -95,12 +95,30 @@ def semantic_dedup(
         *keep_cols, cell.alias("cell")
     )
 
-    a = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cell")
-    b = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cell")
+    # norm folded ONCE per vector pre-join (cosine_with_norms is
+    # bit-identical to cosine); per-pair work is a single dot fold
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+        "cell",
+    )
     edges = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("__cos"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_with_norms(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            ).alias("__cos"),
+        )
         .where(F.col("__cos") >= F.lit(float(threshold)))
         .select("id_a", "id_b")
     )
