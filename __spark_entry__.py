@@ -592,6 +592,48 @@ def q_strip_spans(spark, sf_dir):
     return strip_duplicate_spans(_t(spark, sf_dir, "documents"), k=5, min_count=2)
 
 
+def _pseudo_lines_df(spark, sf_dir, width):
+    """documents with a deterministic multi-line ``text``: the normalized
+    token stream regrouped into ``width``-token lines joined by newlines.
+    The synthetic corpus has no newline structure, so the line operators
+    (operators/lines.py) are driven over a synthesized one — built from
+    the SAME exact expression tree in both engines (token slice + join),
+    so every downstream string/count compares bit-identically."""
+    from pystreamfs_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    b = d.select("doc_id", tokens(F.col("text")).alias("__t"))
+    n_lines = F.ceil(F.size("__t") / F.lit(float(width))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(F.col("__t"), i * width + 1, width), " "),
+    )
+    return b.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+def q_clean_lines(spark, sf_dir):
+    """C4-style line filtering (operators/lines.py::filter_lines) over
+    3-token pseudo-lines: keep lines with >= 3 words and no 'slow'
+    substring (the short tail line and banned-term lines drop). Map-only
+    plan; exact integer counts + portable string ops."""
+    from pystreamfs_spark.operators.lines import filter_lines
+
+    d = _pseudo_lines_df(spark, sf_dir, 3)
+    return filter_lines(d, min_words=3, banned_terms=["slow"])
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-document line dedup (operators/lines.py::dedup_lines_corpus)
+    over 2-token pseudo-lines: strip every line whose normalized form
+    appears in >= 20 distinct documents (the RefinedWeb boilerplate pass).
+    Runs the broadcast frequent-set strategy (tests prove it identical to
+    the shuffle strategy); the oracle is the explode + anti-join form."""
+    from pystreamfs_spark.operators.lines import dedup_lines_corpus
+
+    d = _pseudo_lines_df(spark, sf_dir, 2)
+    return dedup_lines_corpus(d, min_doc_freq=20, strategy="broadcast")
+
+
 def q_cap_source(spark, sf_dir):
     """Per-source document cap (operators/sampling.py::cap_per_group) —
     the per-domain page cap of web curation, keep <= 10 docs per source by
@@ -1230,10 +1272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new operator gets an immediate driver row), and the rows-only
         # bm25_top (r04-checked).
         # ofs_weights/prequential_ofs stay as the §2 kernel anchors.
-        # r06 rotation demand (execute next round): IN — the 11 NEW r05
+        # r06 rotation demand (execute next round): IN — the 13 NEW r05
         # tail oracles (strip_spans, budget_select, mix_sources,
         # lexicon_score, semantic_dedup, leak_split, cap_source,
-        # vocab_top, ngram_common, quality_band, encode_vocab; each
+        # vocab_top, ngram_common, quality_band, encode_vocab,
+        # clean_lines, line_dedup; each
         # carries a three-scale local DuckDB proof) + first slots for the
         # new rows-only unigram_lm and pq_ann +
         # every oracled entry rotated out in r05 whose last driver row is
@@ -1313,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "strip_spans": q_strip_spans,  # NEW r05, oracled; rotates into the r06 window
+        "clean_lines": q_clean_lines,  # NEW r05, oracled; rotates into the r06 window
+        "line_dedup": q_line_dedup,  # NEW r05, oracled; rotates into the r06 window
         "budget_select": q_budget_select,  # NEW r05, oracled; rotates into the r06 window
         "mix_sources": q_mix_sources,  # NEW r05, oracled; rotates into the r06 window
         "lexicon_score": q_lexicon_score,  # NEW r05, oracled; rotates into the r06 window
@@ -1972,6 +2017,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t2.t) AS BIGINT) AS n_tokens,
                    CAST(len(t2.t) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_tokens_removed
             FROM toks t2 LEFT JOIN agg USING (doc_id)
+        """,
+        # 3-token pseudo-lines (q_clean_lines docstring) -> C4 line gate:
+        # >= 3 words AND no 'slow' substring; list_filter mirrors the
+        # engine's map-only higher-order-function plan exactly
+        "clean_lines": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            ls AS (SELECT doc_id,
+                          [array_to_string(t[(i*3+1):(i*3+3)], ' ')
+                           for i in range(0, CAST(ceil(len(t)/3.0) AS BIGINT))] AS l
+                   FROM toks),
+            k AS (SELECT doc_id, l,
+                         list_filter(l, x ->
+                             len(list_filter(string_split(trim(x), ' '), w -> w <> '')) >= 3
+                             AND NOT contains(lower(x), 'slow')) AS kept
+                  FROM ls)
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS text_clean,
+                   CAST(len(l) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept
+            FROM k
+        """,
+        # 2-token pseudo-lines -> cross-document boilerplate strip: lines
+        # in >= 20 distinct docs removed; anti-join + string_agg(ORDER BY
+        # pos) mirrors the engine's broadcast frequent-set array filter
+        # (the strategies are output-identical, tested)
+        "line_dedup": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            ls AS (SELECT doc_id,
+                          [array_to_string(t[(i*2+1):(i*2+2)], ' ')
+                           for i in range(0, CAST(ceil(len(t)/2.0) AS BIGINT))] AS l
+                   FROM toks),
+            ln AS (SELECT doc_id,
+                          unnest([i - 1 for i in range(1, len(l) + 1)]) AS pos,
+                          unnest(l) AS line
+                   FROM ls),
+            f AS (SELECT line
+                  FROM (SELECT DISTINCT doc_id, line FROM ln WHERE line <> '')
+                  GROUP BY line HAVING COUNT(*) >= 20),
+            kept AS (SELECT ln.doc_id, ln.pos, ln.line
+                     FROM ln ANTI JOIN f USING (line)),
+            agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                           COUNT(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT ls.doc_id,
+                   COALESCE(agg.text_clean, '') AS text_clean,
+                   CAST(len(ls.l) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept
+            FROM ls LEFT JOIN agg USING (doc_id)
         """,
         "lexicon_score": f"""
             SELECT doc_id,

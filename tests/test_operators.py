@@ -1607,3 +1607,85 @@ def test_unigram_logprob_numpy_parity(spark):
         assert out[i].avg_logprob == pytest.approx(want, rel=1e-12), i
     # common-token doc scores HIGHER than rare-token doc
     assert out[2].avg_logprob > out[1].avg_logprob
+
+
+def test_filter_lines_c4_rules(spark):
+    from pystreamfs_spark.operators.lines import filter_lines
+
+    rows = [
+        (0, "This is a fine sentence.\nshort one\nEnable javascript to view.\nAnother good line here!"),
+        (1, "only\ntwo words\n"),           # all lines under min_words; trailing sep -> empty 3rd line
+        (2, None),                           # NULL text -> one empty line, dropped
+        (3, "no terminal punctuation here\nBut this one ends well."),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in filter_lines(
+            d, min_words=3, banned_terms=["javascript"], require_terminal=True
+        ).collect()
+    }
+    assert out[0].text_clean == "This is a fine sentence.\nAnother good line here!"
+    assert (out[0].n_lines, out[0].n_kept) == (4, 2)
+    assert out[1].text_clean == "" and out[1].n_lines == 3 and out[1].n_kept == 0
+    assert out[2].text_clean == "" and (out[2].n_lines, out[2].n_kept) == (1, 0)
+    assert out[3].text_clean == "But this one ends well."
+    # banned match is case-insensitive substring
+    d2 = spark.createDataFrame([(0, "Click here for JavaScript games now")], "doc_id bigint, text string")
+    assert filter_lines(d2, min_words=1, banned_terms=["javascript"]).collect()[0].n_kept == 0
+    with pytest.raises(ValueError):
+        filter_lines(d, min_words=-1)
+
+
+def test_dedup_lines_corpus_strategies_and_bruteforce(spark):
+    from collections import Counter
+
+    from pystreamfs_spark.operators.lines import dedup_lines_corpus, line_frequencies
+
+    # 'Cookie  Notice' normalizes to the same line as 'cookie notice' -> the
+    # boilerplate is counted once per doc and stripped everywhere
+    rows = [
+        (0, "cookie notice\nreal content alpha\nfooter text"),
+        (1, "Cookie  Notice\nreal content beta\nfooter text"),
+        (2, "unique page gamma\nFOOTER TEXT"),
+        (3, "cookie notice\ncookie notice\nonly boilerplate here"),
+        (4, ""),                             # empty text -> one empty line, never removed
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    freq = {r.line: r.doc_freq for r in line_frequencies(d).collect()}
+    assert freq["cookie notice"] == 3 and freq["footer text"] == 3
+    assert freq["only boilerplate here"] == 1
+
+    # brute-force expectation at min_doc_freq=2
+    texts = {i: (t or "") for i, t in rows}
+    norm = lambda s: " ".join(s.lower().split())  # noqa: E731
+    df_count = Counter()
+    for t in texts.values():
+        df_count.update({norm(l) for l in t.split("\n") if norm(l)})
+    hot = {l for l, c in df_count.items() if c >= 2}
+    want = {
+        i: "\n".join(l for l in t.split("\n") if norm(l) not in hot or not norm(l))
+        for i, t in texts.items()
+    }
+
+    for strategy in ("broadcast", "shuffle"):
+        out = {
+            r.doc_id: r
+            for r in dedup_lines_corpus(d, min_doc_freq=2, strategy=strategy).collect()
+        }
+        for i in texts:
+            assert out[i].text_clean == want[i], (strategy, i)
+            assert out[i].n_lines == len(texts[i].split("\n")), (strategy, i)
+            assert out[i].n_kept == len(
+                [l for l in texts[i].split("\n") if norm(l) not in hot or not norm(l)]
+            ), (strategy, i)
+    # doc 3: repeated boilerplate line stripped both times, unique line stays
+    assert out[3].text_clean == "only boilerplate here"
+    # empty line survives (never counted)
+    assert out[4].text_clean == "" and out[4].n_kept == 1
+
+    with pytest.raises(ValueError):
+        dedup_lines_corpus(d, min_doc_freq=1)
+    with pytest.raises(ValueError):
+        dedup_lines_corpus(d, strategy="sort")

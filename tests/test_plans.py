@@ -288,3 +288,29 @@ def test_cap_per_group_salted_splits_hot_group(spark, sf_dir):
     text = explain_str(out)
     # phase-1 window partitions on (source, pmod(xxhash64(...)))
     assert re.search(r"Window .*pmod", text) or "pmod" in text, text[:3000]
+
+
+def test_filter_lines_is_map_only(spark, sf_dir):
+    """filter_lines is the C4 line gate — pure higher-order-function
+    projections, zero exchanges at any corpus size."""
+    from pystreamfs_spark.operators.lines import filter_lines
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = filter_lines(d, min_words=3, banned_terms=["slow"])
+    assert count_exchanges(out) == 0, explain_str(out)[:2000]
+
+
+def test_dedup_lines_broadcast_never_shuffles_corpus(spark, sf_dir):
+    """dedup_lines_corpus(strategy='broadcast'): every exchange sits on the
+    frequency SIDE branch — distinct (doc, line) pairs, the per-line count,
+    and the single-row frequent-set fold (3 total, each strictly smaller
+    than the last); the corpus rows themselves reach the output through a
+    broadcast join with NO corpus-wide exchange, sort, or window."""
+    from pystreamfs_spark.operators.lines import dedup_lines_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup_lines_corpus(d, min_doc_freq=2, strategy="broadcast")
+    text = explain_str(out)
+    assert count_exchanges(out) <= 3, text[:3000]
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text, text[:3000]
+    assert "Window" not in text, text[:3000]
