@@ -634,6 +634,19 @@ def q_line_dedup(spark, sf_dir):
     return dedup_lines_corpus(d, min_doc_freq=20, strategy="broadcast")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/importance.py) of the documents
+    corpus toward the src0 slice as the stand-in target domain: hashed
+    2-gram bucket log-likelihood ratios, summed per doc. ln is
+    transcendental -> rows-only driver check; arithmetic pinned by the
+    NumPy parity test (bm25 / unigram_lm contract)."""
+    from pystreamfs_spark.operators.importance import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.where(F.col("source") == "src0")
+    return dsir_weights(d, target, n=2, n_buckets=4096)
+
+
 def q_cap_source(spark, sf_dir):
     """Per-source document cap (operators/sampling.py::cap_per_group) —
     the per-domain page cap of web curation, keep <= 10 docs per source by
@@ -1278,7 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocab_top, ngram_common, quality_band, encode_vocab,
         # clean_lines, line_dedup; each
         # carries a three-scale local DuckDB proof) + first slots for the
-        # new rows-only unigram_lm and pq_ann +
+        # new rows-only unigram_lm, dsir_weights and pq_ann +
         # every oracled entry rotated out in r05 whose last driver row is
         # then one-round-stale (asof_join, strict_prefix, hourly,
         # session_window, rollup_revenue, event_pivot, fscr_sql,
@@ -1358,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_spans": q_strip_spans,  # NEW r05, oracled; rotates into the r06 window
         "clean_lines": q_clean_lines,  # NEW r05, oracled; rotates into the r06 window
         "line_dedup": q_line_dedup,  # NEW r05, oracled; rotates into the r06 window
+        "dsir_weights": q_dsir_weights,  # NEW r05, rows-only (ln); NumPy parity
         "budget_select": q_budget_select,  # NEW r05, oracled; rotates into the r06 window
         "mix_sources": q_mix_sources,  # NEW r05, oracled; rotates into the r06 window
         "lexicon_score": q_lexicon_score,  # NEW r05, oracled; rotates into the r06 window

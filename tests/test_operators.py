@@ -1689,3 +1689,62 @@ def test_dedup_lines_corpus_strategies_and_bruteforce(spark):
         dedup_lines_corpus(d, min_doc_freq=1)
     with pytest.raises(ValueError):
         dedup_lines_corpus(d, strategy="sort")
+
+
+def test_dsir_weights_numpy_parity_and_ranking(spark):
+    from collections import Counter
+
+    import pyspark.sql.functions as SF
+
+    from pystreamfs_spark.operators.importance import dsir_weights
+
+    corpus = {
+        0: "the cat sat on the mat",
+        1: "stock market prices rose sharply today",
+        2: "the dog sat on the rug",
+        3: "x",                      # shorter than n -> gramless
+    }
+    # target = the two pet docs verbatim: their grams are all in-target,
+    # the finance doc's are all out-of-target — rank must separate them
+    target = {10: "the cat sat on the mat", 11: "the dog sat on the rug"}
+    B, S, N = 256, 0.5, 2
+    c = spark.createDataFrame(list(corpus.items()), "doc_id bigint, text string")
+    t = spark.createDataFrame(list(target.items()), "doc_id bigint, text string")
+    out = {r.doc_id: r for r in dsir_weights(c, t, n=N, n_buckets=B, smoothing=S).collect()}
+
+    # NumPy oracle: bucket ids via the engine's own xxhash64 (hashing is
+    # engine-defined; the ARITHMETIC is what parity pins down)
+    grams = lambda txt: [  # noqa: E731
+        " ".join(txt.split()[i : i + N]) for i in range(len(txt.split()) - N + 1)
+    ]
+    all_grams = sorted({g for d in (corpus, target) for txt in d.values() for g in grams(txt)})
+    gdf = spark.createDataFrame([(g,) for g in all_grams], "gram string")
+    bucket = dict(
+        gdf.select("gram", SF.pmod(SF.xxhash64("gram"), SF.lit(B)).alias("b")).collect()
+    )
+    cr, ct = Counter(), Counter()
+    for txt in corpus.values():
+        cr.update(bucket[g] for g in grams(txt))
+    for txt in target.values():
+        ct.update(bucket[g] for g in grams(txt))
+    nr, nt = sum(cr.values()), sum(ct.values())
+    lr = {
+        b: np.log((ct.get(b, 0) + S) / (nt + S * B)) - np.log((cr[b] + S) / (nr + S * B))
+        for b in cr
+    }
+    for i, txt in corpus.items():
+        gs = grams(txt)
+        want = float(sum(lr[bucket[g]] for g in gs)) if gs else 0.0
+        assert out[i].n_grams == len(gs), i
+        assert out[i].logw == pytest.approx(want, rel=1e-12, abs=1e-12), i
+        if gs:
+            assert out[i].avg_logw == pytest.approx(want / len(gs), rel=1e-12), i
+    # gramless doc: zeros, present in output
+    assert (out[3].n_grams, out[3].logw, out[3].avg_logw) == (0, 0.0, 0.0)
+    # target look-alikes outrank the off-domain doc
+    assert out[0].avg_logw > out[1].avg_logw and out[2].avg_logw > out[1].avg_logw
+
+    with pytest.raises(ValueError):
+        dsir_weights(c, t, smoothing=0.0)
+    with pytest.raises(ValueError):
+        dsir_weights(c, t, n=0)

@@ -314,3 +314,17 @@ def test_dedup_lines_broadcast_never_shuffles_corpus(spark, sf_dir):
     assert count_exchanges(out) <= 3, text[:3000]
     assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text, text[:3000]
     assert "Window" not in text, text[:3000]
+
+
+def test_dsir_ratio_table_is_broadcast(spark, sf_dir):
+    """dsir_weights: the bucket log-ratio table (<= n_buckets rows) must
+    reach the scoring join as a broadcast — the corpus is never
+    sort-merge-joined on gram/bucket keys, so hot buckets cannot skew."""
+    from pyspark.sql import functions as F
+
+    from pystreamfs_spark.operators.importance import dsir_weights
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dsir_weights(d, d.where(F.col("source") == "src0"), n=2, n_buckets=512)
+    text = explain_str(out)
+    assert "BroadcastExchange" in text, text[:3000]
