@@ -347,6 +347,7 @@ def near_dedup(
     hash_fn: str = "md5",
     max_iter: int = 25,
     with_audit: bool = False,
+    representative_col: str | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """The composed end-to-end near-dedup pass: MinHash-LSH candidate pairs
     → band-agreement filter (``min_shared_bands`` raises the effective
@@ -354,6 +355,12 @@ def near_dedup(
     one canonical document per cluster. Output: (id, component,
     is_canonical) for EVERY input document (non-duplicates are their own
     singleton components).
+
+    ``representative_col`` names a score column OF ``df`` (e.g. a
+    quality_score projection); when set, each cluster's canonical is its
+    highest-scoring member (ties → min id) via
+    :func:`operators.graph.component_representatives` instead of the
+    min-id default — keep the best page of the cluster, not the first.
 
     ``with_audit=True`` returns ``(dedup_df, audit_df)`` where the audit is
     the one-row :func:`minhash_bucket_audit` for this run's
@@ -386,6 +393,12 @@ def near_dedup(
         # dedup_components' CC loop executes its jobs NOW (labels end up
         # localCheckpointed), so `out` no longer reads sig after this call
         out = dedup_components(df, pairs, id_col=id_col, max_iter=max_iter)
+        if representative_col is not None:
+            from pystreamfs_spark.operators.graph import component_representatives
+
+            out = component_representatives(
+                out, df.select(id_col, representative_col), representative_col, id_col
+            )
         if not with_audit:
             return out
         audit = minhash_bucket_audit(

@@ -155,3 +155,56 @@ def dedup_components(
         "component",
         (F.col(id_col) == F.col("component")).alias("is_canonical"),
     )
+
+
+def component_representatives(
+    labeled: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    component_col: str = "component",
+) -> DataFrame:
+    """Re-choose each cluster's keeper by QUALITY instead of min id: the
+    representative of a component is its highest-``score_col`` member
+    (ties, and NULL-score members, fall back to the smaller id — NULLs
+    sort as -inf so a scored member always beats an unscored one). The
+    min-id default of :func:`dedup_components` is the right oracle-exact
+    baseline; this is the policy a real curation pipeline wants — keep the
+    best page of the duplicate cluster, not the numerically first.
+
+    ``labeled`` is dedup_components-shaped (id, component, ...);
+    ``scores`` maps id -> score (e.g. functions.text.quality_score or a
+    dsir/unigram-LM rank). Output: (id, component, is_canonical) with
+    exactly one canonical per component (asserted by tests, not at
+    runtime).
+
+    Plan shape at 100 TB: one equi-join on the doc id (uniform key) + ONE
+    map-side-combinable MIN aggregate over struct(-score, id) per
+    component + a broadcast-or-shuffle join of the (component, keeper)
+    table back — no window, no global sort; the keeper table has one row
+    per CLUSTER, typically orders of magnitude smaller than the corpus."""
+    neg_inf = F.lit(float("-inf"))
+    scored = labeled.join(
+        scores.select(F.col(id_col), F.col(score_col).alias("__s")), id_col, "left"
+    )
+    keeper = (
+        scored.groupBy(component_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.coalesce(F.col("__s"), neg_inf)).alias("__negs"),
+                    F.col(id_col).alias("__kid"),
+                )
+            ).alias("__k")
+        )
+        .select(component_col, F.col("__k.__kid").alias("__keeper"))
+    )
+    return (
+        labeled.select(id_col, component_col)
+        .join(keeper, component_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(component_col),
+            (F.col(id_col) == F.col("__keeper")).alias("is_canonical"),
+        )
+    )

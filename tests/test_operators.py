@@ -1748,3 +1748,44 @@ def test_dsir_weights_numpy_parity_and_ranking(spark):
         dsir_weights(c, t, smoothing=0.0)
     with pytest.raises(ValueError):
         dsir_weights(c, t, n=0)
+
+
+def test_component_representatives_best_score_wins(spark):
+    from pystreamfs_spark.operators.graph import component_representatives, dedup_components
+
+    # clusters: {0,1,2} and {3,4}; 5 is a singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a bigint, id_b bigint"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    labeled = dedup_components(docs, pairs)
+    scores = spark.createDataFrame(
+        [(0, 0.2), (1, 0.9), (2, 0.9), (3, None), (4, 0.1), (5, 0.5)],
+        "doc_id bigint, q double",
+    )
+    out = {r.doc_id: r for r in component_representatives(labeled, scores, "q").collect()}
+    # cluster {0,1,2}: 1 and 2 tie at 0.9 -> min id 1 wins
+    assert [out[i].is_canonical for i in range(6)] == [False, True, False, False, True, True]
+    # exactly one canonical per component
+    comp = {}
+    for r in out.values():
+        comp.setdefault(r.component, 0)
+        comp[r.component] += int(r.is_canonical)
+    assert all(v == 1 for v in comp.values()), comp
+
+
+def test_near_dedup_representative_col(spark):
+    from pystreamfs_spark.operators.dedup import near_dedup
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", 0.1),
+        (1, "alpha beta gamma delta epsilon zeta", 0.9),   # exact dup of 0, higher quality
+        (2, "completely different text about other things", 0.5),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, q double")
+    base = {r.doc_id: r for r in near_dedup(d, min_shared_bands=2).collect()}
+    best = {r.doc_id: r for r in near_dedup(d, min_shared_bands=2, representative_col="q").collect()}
+    assert base[0].is_canonical and not base[1].is_canonical      # min-id default
+    assert best[1].is_canonical and not best[0].is_canonical      # quality keeper
+    assert best[2].is_canonical                                    # singleton unaffected
+    assert all(best[i].component == base[i].component for i in base)  # same clusters
