@@ -255,6 +255,10 @@ def main() -> None:
         "budget_select": lambda: entry_queries["budget_select"](spark, sf_dir).count(),
         "mix_sources": lambda: entry_queries["mix_sources"](spark, sf_dir).count(),
         "semantic_dedup": lambda: entry_queries["semantic_dedup"](spark, sf_dir).count(),
+        # r05: line-level cleaning + DSIR importance over the sf corpus
+        "clean_lines": lambda: entry_queries["clean_lines"](spark, sf_dir).count(),
+        "line_dedup": lambda: entry_queries["line_dedup"](spark, sf_dir).count(),
+        "dsir_weights": lambda: entry_queries["dsir_weights"](spark, sf_dir).count(),
         # r05: the hot-key pair — same job direct vs salted (scale-stress)
         "skew_direct": skew_direct_run,
         "skew_salted": skew_salted_run,
