@@ -303,3 +303,36 @@ def stream_exact_dedup(
     fp = stream_df.withColumn("__fp", fingerprint(F.col(text_col)))
     out = fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["__fp"])
     return out.select(id_col, ts_col, F.col("__fp").alias("fp"), text_col)
+
+
+def stream_clean_lines(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_words: int = 3,
+    banned_terms: list[str] | None = None,
+    require_terminal: bool = False,
+) -> DataFrame:
+    """Ingest-time C4 line gate — the streaming twin of
+    ``operators.lines.filter_lines``. Line filtering is within-document, so
+    the streaming form is completely STATELESS: one map-only pass of
+    higher-order-function array expressions per arriving document — no
+    watermark, no GroupState, no shuffle — and per-document output is
+    bit-identical to the batch operator (parity asserted in tests).
+    Compose with ``WHERE n_kept > 0`` to drop documents whose every line
+    failed the gate before they land. (The cross-document
+    ``dedup_lines_corpus`` pass has no streaming twin by design: its
+    frequency table is a corpus-wide aggregate — run it in the batch
+    compaction tier.)"""
+    from pystreamfs_spark.operators.lines import filter_lines
+
+    return filter_lines(
+        stream_df,
+        text_col=text_col,
+        id_col=id_col,
+        sep=sep,
+        min_words=min_words,
+        banned_terms=banned_terms,
+        require_terminal=require_terminal,
+    )

@@ -332,3 +332,46 @@ def test_stream_quality_signals_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(300)
     streamed = key(spark.sql(f"select * from {q.name}").collect())
     assert streamed == batch
+
+
+def test_stream_clean_lines_matches_batch(spark, tmp_path):
+    """Ingest-time C4 line gate: the stateless streaming pass must be
+    bit-identical per document to the batch filter_lines operator."""
+    import time as _time
+
+    from pystreamfs_spark.operators.lines import filter_lines
+    from pystreamfs_spark.streaming.adapter import stream_clean_lines
+
+    docs = spark.createDataFrame(
+        [
+            (0, "This is a fine sentence.\nshort\nEnable javascript now please.\nAnother good line here!"),
+            (1, "only\ntwo words"),
+            (2, "Terminal line wins here.\nbut this one does not"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    kw = dict(min_words=3, banned_terms=["javascript"], require_terminal=True)
+
+    def key(rows):
+        return {r.doc_id: (r.text_clean, r.n_lines, r.n_kept) for r in rows}
+
+    batch = key(filter_lines(docs, **kw).collect())
+
+    src = str(tmp_path / "clsrc")
+    docs.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_clean_lines(stream, **kw)
+        .writeStream.format("memory")
+        .queryName(f"clines_{int(_time.time() * 1000)}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "clckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = key(spark.sql(f"select * from {q.name}").collect())
+    assert streamed == batch
