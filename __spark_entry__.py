@@ -634,6 +634,16 @@ def q_line_dedup(spark, sf_dir):
     return dedup_lines_corpus(d, min_doc_freq=20, strategy="broadcast")
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (operators/winnow.py, Schleimer et al. 2003):
+    rightmost-min of every 4-window over the 3-gram md5-prefix hash
+    sequence, distinct per doc. All-integer output; the oracle rebuilds
+    the same fold with DuckDB list comprehensions."""
+    from pystreamfs_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (operators/importance.py) of the documents
     corpus toward the src0 slice as the stand-in target domain: hashed
@@ -1289,7 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail oracles (strip_spans, budget_select, mix_sources,
         # lexicon_score, semantic_dedup, leak_split, cap_source,
         # vocab_top, ngram_common, quality_band, encode_vocab,
-        # clean_lines, line_dedup; each
+        # clean_lines, line_dedup, winnow; each
         # carries a three-scale local DuckDB proof) + first slots for the
         # new rows-only unigram_lm, dsir_weights and pq_ann +
         # every oracled entry rotated out in r05 whose last driver row is
@@ -1372,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_lines": q_clean_lines,  # NEW r05, oracled; rotates into the r06 window
         "line_dedup": q_line_dedup,  # NEW r05, oracled; rotates into the r06 window
         "dsir_weights": q_dsir_weights,  # NEW r05, rows-only (ln); NumPy parity
+        "winnow": q_winnow,  # NEW r05, oracled; rotates into the r06 window
         "budget_select": q_budget_select,  # NEW r05, oracled; rotates into the r06 window
         "mix_sources": q_mix_sources,  # NEW r05, oracled; rotates into the r06 window
         "lexicon_score": q_lexicon_score,  # NEW r05, oracled; rotates into the r06 window
@@ -2031,6 +2042,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t2.t) AS BIGINT) AS n_tokens,
                    CAST(len(t2.t) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_tokens_removed
             FROM toks t2 LEFT JOIN agg USING (doc_id)
+        """,
+        # winnowing: rightmost-min per 4-window over 3-gram hashes; the
+        # j/i list comprehensions mirror the engine's aggregate() fold —
+        # `= list_min(...)` + list_max picks the rightmost tied minimum
+        "winnow": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(t) >= 3
+                              THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    for i in range(1, len(t) - 1)]
+                              ELSE [array_to_string(t, ' ')] END AS grams
+                  FROM toks),
+            h AS (SELECT doc_id,
+                         [CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT)
+                          for x in grams] AS hs
+                  FROM g),
+            sel AS (SELECT doc_id,
+                           unnest([list_max([j - 1 for j in range(i, least(i + 4, len(hs) + 1))
+                                             if hs[j] = list_min(hs[i:i+3])])
+                                   for i in range(1, greatest(len(hs) - 3, 1) + 1)]) AS pos,
+                           unnest([list_min(hs[i:i+3])
+                                   for i in range(1, greatest(len(hs) - 3, 1) + 1)]) AS fp
+                    FROM h)
+            SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel
         """,
         # 3-token pseudo-lines (q_clean_lines docstring) -> C4 line gate:
         # >= 3 words AND no 'slow' substring; list_filter mirrors the

@@ -38,8 +38,11 @@ def main(sf_dir: str) -> None:
         .join(rep.where((F.col("top_kgram_frac") <= 0.6) & (F.col("dup_token_frac") <= 0.95)), "doc_id")
         .select(docs["*"])
     )
+    # keep each duplicate cluster's HIGHEST-QUALITY member (not the min id)
+    good = good.withColumn("q", quality_score(F.col("text")))
     clusters, audit = near_dedup(
-        good, n_bands=8, k=3, min_shared_bands=2, max_bucket_size=200, with_audit=True
+        good, n_bands=8, k=3, min_shared_bands=2, max_bucket_size=200,
+        with_audit=True, representative_col="q",
     )
     keep = good.join(clusters.where("is_canonical"), "doc_id")
     # decontamination vs a stand-in eval set (every 97th doc)

@@ -1789,3 +1789,81 @@ def test_near_dedup_representative_col(spark):
     assert best[1].is_canonical and not best[0].is_canonical      # quality keeper
     assert best[2].is_canonical                                    # singleton unaffected
     assert all(best[i].component == base[i].component for i in base)  # same clusters
+
+
+def test_winnow_fingerprints_bruteforce_parity(spark):
+    import hashlib
+
+    from pystreamfs_spark.operators.winnow import winnow_fingerprints
+
+    K, W = 3, 4
+
+    def brute(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        grams = (
+            [" ".join(toks[i : i + K]) for i in range(len(toks) - K + 1)]
+            if len(toks) >= K
+            else [" ".join(toks)]
+        )
+        H = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        sels = set()
+        for i in range(max(len(H) - W + 1, 1)):
+            win = H[i : i + W]
+            m = min(win)
+            pos = max(j for j in range(i, i + len(win)) if H[j] == m)
+            sels.add((pos, m))
+        return sels
+
+    docs = {
+        0: "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+        1: "a a a a a a a a",                      # all-equal hashes: rightmost tie-break per window
+        2: "tiny",                                  # < k tokens -> single whole-text shingle
+        3: "one two three four",                    # L < w -> single truncated window
+        4: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    }
+    d = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    got = {}
+    for r in winnow_fingerprints(d, k=K, w=W).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, txt in docs.items():
+        assert got[i] == brute(txt), (i, got[i], brute(txt))
+    # all-equal doc: every window selects its rightmost position
+    n_grams1 = len(docs[1].split()) - K + 1
+    assert got[1] == {(p, next(iter(got[1]))[1]) for p in range(W - 1, n_grams1)}
+
+    # the winnowing guarantee: a shared substring of >= k + w - 1 tokens
+    # (here 6) must produce at least one shared fingerprint
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing"
+    d2 = spark.createDataFrame(
+        [(10, "unrelated prefix words here " + shared),
+         (11, shared + " totally different suffix material")],
+        "doc_id bigint, text string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(d2, k=K, w=W).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[10] & fps[11], fps
+
+    with pytest.raises(ValueError):
+        winnow_fingerprints(d, k=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(d, w=0)
+
+
+def test_winnow_shared_pairs_detects_planted_overlap(spark):
+    from pystreamfs_spark.operators.winnow import winnow_shared_pairs
+
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [
+        (0, "prefix words before the copy " + shared),
+        (1, shared + " and then an entirely different ending section"),
+        (2, "nothing in common with anything else at all whatsoever today"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r.id_a, r.id_b): r.n_shared for r in winnow_shared_pairs(d, min_shared=2).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert all(2 not in p for p in pairs)
+    # max_df=1 kills every cross-doc fingerprint -> no pairs survive
+    assert winnow_shared_pairs(d, min_shared=1, max_df=1).count() == 0
+    with pytest.raises(ValueError):
+        winnow_shared_pairs(d, min_shared=0)
