@@ -644,6 +644,27 @@ def q_winnow(spark, sf_dir):
     return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
 
 
+def q_cm_heavy(spark, sf_dir):
+    """Count-Min heavy hitters (operators/sketches.py countmin_*): per
+    event_type users whose ESTIMATED event count (min over 4 md5-bucket
+    hash rows, width 512) is >= 0.9% of the type's total. All-integer
+    sketch arithmetic on the portable md5-prefix hash, so the oracle
+    rebuilds the identical sketch cells in DuckDB — an exactly-checkable
+    sketch, unlike the DataSketches-backed HLL/KLL rollups."""
+    from pystreamfs_spark.operators.sketches import cm_heavy_hitters
+
+    hh = cm_heavy_hitters(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id",
+        min_frac=0.009, depth=4, width=512,
+    )
+    return hh.select(
+        "event_type",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("est_count").cast("long").alias("est_count"),
+        F.col("cm_total").cast("long").alias("cm_total"),
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (operators/importance.py) of the documents
     corpus toward the src0 slice as the stand-in target domain: hashed
@@ -1383,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,  # NEW r05, oracled; rotates into the r06 window
         "dsir_weights": q_dsir_weights,  # NEW r05, rows-only (ln); NumPy parity
         "winnow": q_winnow,  # NEW r05, oracled; rotates into the r06 window
+        "cm_heavy": q_cm_heavy,  # NEW r05, oracled; rotates into the r06 window
         "budget_select": q_budget_select,  # NEW r05, oracled; rotates into the r06 window
         "mix_sources": q_mix_sources,  # NEW r05, oracled; rotates into the r06 window
         "lexicon_score": q_lexicon_score,  # NEW r05, oracled; rotates into the r06 window
@@ -2042,6 +2064,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t2.t) AS BIGINT) AS n_tokens,
                    CAST(len(t2.t) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_tokens_removed
             FROM toks t2 LEFT JOIN agg USING (doc_id)
+        """,
+        # Count-Min heavy hitters: the sketch's md5-bucket cells rebuilt
+        # verbatim (CAST hex prefix, % 512 on nonnegative = pmod), min over
+        # the 4 hash rows, threshold vs the exact per-type total — every
+        # intermediate is integer, so the filter boundary (double product)
+        # is bit-identical in both engines
+        "cm_heavy": """
+            WITH base AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+                                 user_id
+                          FROM events),
+            cells AS (
+                SELECT event_type, r.r,
+                       CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || item), 1, 8)) AS BIGINT) % 512 AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM base, range(4) r(r)
+                GROUP BY 1, 2, 3
+            ),
+            totals AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cm_total
+                       FROM base GROUP BY 1),
+            cand AS (SELECT DISTINCT event_type, item, user_id FROM base),
+            est AS (
+                SELECT c.event_type, c.user_id, MIN(cl.cnt) AS est_count
+                FROM cand c
+                JOIN range(4) r(r) ON TRUE
+                JOIN cells cl
+                  ON cl.event_type = c.event_type AND cl.r = r.r
+                 AND cl.bucket = CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || c.item), 1, 8)) AS BIGINT) % 512
+                GROUP BY 1, 2
+            )
+            SELECT e.event_type, e.user_id,
+                   CAST(e.est_count AS BIGINT) AS est_count, t.cm_total
+            FROM est e JOIN totals t USING (event_type)
+            WHERE e.est_count >= t.cm_total * 0.009
         """,
         # winnowing: rightmost-min per 4-window over 3-gram hashes; the
         # j/i list comprehensions mirror the engine's aggregate() fold —

@@ -1,7 +1,8 @@
-"""Mergeable sketches: approximate distinct counts (HLL) and quantiles
-(KLL) whose per-group summaries UNION into coarser groups without
-rescanning the data — the hierarchical-rollup pattern (hourly → daily →
-monthly → total) that exact aggregates cannot give you at 100 TB.
+"""Mergeable sketches: approximate distinct counts (HLL), quantiles
+(KLL) and frequency estimates (Count-Min) whose per-group summaries UNION
+into coarser groups without rescanning the data — the hierarchical-rollup
+pattern (hourly → daily → monthly → total) that exact aggregates cannot
+give you at 100 TB.
 
 Why sketches and not exact: an exact COUNT(DISTINCT) must shuffle every
 distinct key once per grouping level; a sketch is a few KB per group, built
@@ -18,11 +19,17 @@ at the default k=200. Estimates are deterministic for a given dataset (the
 sketches hash values, no RNG) but engine-specific — no DuckDB oracle, so
 driver queries are rows-only and correctness is pinned by error-bound and
 merge-consistency tests against exact aggregates.
+
+Count-Min (Cormode & Muthukrishnan 2005) is the exception: the engine's
+buckets come from the portable md5-prefix hash (the SimHash/winnow token
+hash), all arithmetic is integer, and merge is element-wise sum — so the
+estimates are EXACTLY reproducible in ANSI SQL and the driver query
+carries a full DuckDB oracle, unlike the DataSketches-backed HLL/KLL.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -113,3 +120,179 @@ def kll_rollup(
             F.kll_sketch_get_quantile_double(F.col(sketch_col), F.lit(float(p))),
         )
     return out
+
+
+def _cm_bucket(item: Column, r: int, width: int) -> Column:
+    """Row-``r`` Count-Min bucket of a string item: the portable 32-bit
+    md5-prefix hash of ``"{r}:{item}"`` mod ``width`` — pure integer
+    arithmetic, identical in any engine with md5 (the DuckDB oracle
+    replays it verbatim)."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(r)), item)), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+    sketch_col: str = "cm_sketch",
+    total_col: str = "cm_total",
+) -> DataFrame:
+    """Per-group Count-Min sketch: one row per group with a SPARSE cell map
+    ``{row*width + bucket: count}`` (zero cells absent), the exact total
+    weight, and the ``cm_depth`` / ``cm_width`` parameters riding along so
+    downstream estimate/rollup calls can fail fast on a mismatch.
+
+    Estimates from the sketch never under-count (``est >= true``) and
+    over-count by <= e/width * total with probability 1 - (1/2)^depth per
+    query — the classic CM guarantee.
+
+    Scale shape (100 TB): the only fan-out is the constant ``depth``×
+    explode; the cell aggregation map-side-combines to <= depth×width cells
+    per group per partition before the shuffle, so shuffle volume is
+    O(partitions × groups × depth × width) REGARDLESS of row count — the
+    whole point versus an exact (group, item) count. Totals are derived
+    from the cell sums (each item lands in exactly ``depth`` cells), not a
+    second scan."""
+    if depth < 2:
+        raise ValueError(f"countmin_sketch: depth must be >= 2, got {depth}")
+    if width < 2:
+        raise ValueError(f"countmin_sketch: width must be >= 2, got {width}")
+    item = F.col(item_col).cast("string")
+    wgt = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    cells = F.array(
+        *[(F.lit(r * width) + _cm_bucket(item, r, width)) for r in range(depth)]
+    )
+    long_form = df.select(
+        *group_cols, F.explode(cells).alias("__cell"), wgt.alias("__w")
+    )
+    per_cell = long_form.groupBy(*group_cols, "__cell").agg(
+        F.sum("__w").alias("__cnt")
+    )
+    gb = per_cell.groupBy(*group_cols) if group_cols else per_cell.groupBy()
+    return (
+        gb.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__cell"), F.col("__cnt")))
+            ).alias(sketch_col),
+            # Σ cell counts = depth × Σ weights (exact: every item hits one
+            # cell per row); double division is exact below 2^52
+            (F.sum("__cnt") / F.lit(depth)).cast("long").alias(total_col),
+        )
+        .withColumn("cm_depth", F.lit(depth))
+        .withColumn("cm_width", F.lit(width))
+    )
+
+
+def countmin_rollup(
+    sketches: DataFrame,
+    to_cols: list[str],
+    sketch_col: str = "cm_sketch",
+    total_col: str = "cm_total",
+) -> DataFrame:
+    """Merge finer-grained CM sketches up to ``to_cols`` without touching
+    the base data: element-wise cell sums (frequencies ARE additive across
+    disjoint groups, unlike distincts) — metadata-only, O(depth × width)
+    per output group. ``cm_depth``/``cm_width`` join the grouping key, so
+    sketches built with different parameters are never summed together
+    (they would land in separate, clearly-visible output rows — do not mix
+    them)."""
+    keys = list(to_cols) + ["cm_depth", "cm_width"]
+    ex = sketches.select(
+        *keys,
+        F.col(total_col).alias("__t"),
+        F.explode(F.col(sketch_col)).alias("__cell", "__cnt"),
+    )
+    # a row's total repeats once per cell: aggregate it pre-explode instead
+    totals = sketches.groupBy(*keys).agg(F.sum(total_col).alias(total_col))
+    per_cell = ex.groupBy(*keys, "__cell").agg(F.sum("__cnt").alias("__cnt"))
+    merged = per_cell.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__cell"), F.col("__cnt")))
+        ).alias(sketch_col)
+    )
+    return merged.join(totals, keys).select(
+        *to_cols, sketch_col, total_col, "cm_depth", "cm_width"
+    )
+
+
+def countmin_estimate(
+    sketches: DataFrame,
+    items: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    sketch_col: str = "cm_sketch",
+    est_col: str = "est_count",
+) -> DataFrame:
+    """Point-frequency estimates for candidate ``items`` (a DataFrame with
+    ``group_cols`` + ``item_col``): min over the sketch's ``depth`` hash
+    rows of the item's cell counts. Sketch tables are one row per group, so
+    the join side is broadcast. ``depth``/``width`` must match the build —
+    asserted per row against the sketch's own ``cm_depth``/``cm_width``
+    columns (fail-fast, inside the estimate expression so it cannot be
+    pruned)."""
+    item = F.col(item_col).cast("string")
+    lookups = [
+        F.coalesce(
+            F.try_element_at(
+                F.col(sketch_col), F.lit(r * width) + _cm_bucket(item, r, width)
+            ),
+            F.lit(0).cast("long"),
+        )
+        for r in range(depth)
+    ]
+    guard = F.assert_true(
+        (F.col("cm_depth") == depth) & (F.col("cm_width") == width),
+        F.lit("countmin_estimate: depth/width mismatch with the sketch build"),
+    )
+    est = F.when(guard.isNull(), F.least(*lookups))
+    joined = (
+        items.join(F.broadcast(sketches), group_cols)
+        if group_cols
+        else items.crossJoin(F.broadcast(sketches))
+    )
+    return joined.withColumn(est_col, est).drop(
+        sketch_col, "cm_depth", "cm_width"
+    )
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    min_frac: float = 0.01,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Per-group heavy hitters via Count-Min: items whose estimated weight
+    is >= ``min_frac`` of the group total. Because CM never under-counts,
+    every TRUE heavy hitter survives (no false negatives); collisions can
+    let a few items just under the line through — the one-sided trade the
+    sketch makes for bounded memory.
+
+    ``candidates`` defaults to the distinct (group, item) pairs of ``df``
+    itself — exact and fine up to billions of candidates, but at 100 TB
+    pass a cheaper candidate frame (e.g. a 1% sample's distincts: any item
+    above ``min_frac`` of a group is near-certain to appear in the
+    sample), keeping the candidate scan decoupled from the guarantee."""
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError(f"cm_heavy_hitters: min_frac must be in (0, 1], got {min_frac}")
+    sk = countmin_sketch(df, group_cols, item_col, weight_col, depth, width)
+    cand = (
+        candidates
+        if candidates is not None
+        else df.select(*group_cols, item_col).distinct()
+    )
+    est = countmin_estimate(sk, cand, group_cols, item_col, depth, width)
+    return est.where(F.col("est_count") >= F.col("cm_total") * F.lit(float(min_frac)))

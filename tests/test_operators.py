@@ -1867,3 +1867,61 @@ def test_winnow_shared_pairs_detects_planted_overlap(spark):
     assert winnow_shared_pairs(d, min_shared=1, max_df=1).count() == 0
     with pytest.raises(ValueError):
         winnow_shared_pairs(d, min_shared=0)
+
+
+def test_countmin_guarantees_and_rollup_identity(spark, sf_dir):
+    """CM one-sided error (never under-counts; over-count bounded by
+    e/width of the group total on this fixed dataset), exact totals,
+    rollup == one-shot global sketch cell-for-cell, and the estimate-time
+    depth/width guard."""
+    import math
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from pystreamfs_spark.operators.sketches import (
+        cm_heavy_hitters,
+        countmin_estimate,
+        countmin_rollup,
+        countmin_sketch,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    sk = countmin_sketch(ev, ["event_type"], "user_id", depth=4, width=256)
+
+    # totals are exact, not estimates
+    true_totals = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {r.event_type: r.cm_total for r in sk.collect()} == true_totals
+
+    cand = ev.select("event_type", "user_id").distinct()
+    est = countmin_estimate(sk, cand, ["event_type"], "user_id", depth=4, width=256)
+    j = est.join(exact, ["event_type", "user_id"]).collect()
+    assert all(r.est_count >= r.true_cnt for r in j)            # never under
+    bound = math.e / 256
+    assert all(
+        r.est_count - r.true_cnt <= bound * true_totals[r.event_type] * 1.01 for r in j
+    ), max(r.est_count - r.true_cnt for r in j)
+
+    # unseen item: estimate is a (possibly colliding) small over-count, >= 0
+    ghost = spark.createDataFrame([("click", -999999)], "event_type string, user_id bigint")
+    g = countmin_estimate(sk, ghost, ["event_type"], "user_id", depth=4, width=256).first()
+    assert 0 <= g.est_count <= bound * true_totals["click"] * 1.01
+
+    # disjoint-group merge is EXACT: rollup == one-shot global, cell for cell
+    one_shot = {tuple(r) for r in countmin_sketch(ev, [], "user_id", depth=4, width=256).select(F.explode("cm_sketch")).collect()}
+    rolled = {tuple(r) for r in countmin_rollup(sk, []).select(F.explode("cm_sketch")).collect()}
+    assert one_shot == rolled
+
+    # every true heavy hitter survives (no false negatives)
+    frac = 0.008
+    hh = {(r.event_type, r.user_id) for r in cm_heavy_hitters(ev, ["event_type"], "user_id", min_frac=frac, depth=4, width=256).collect()}
+    true_hh = {(r.event_type, r.user_id) for r in j if r.true_cnt >= frac * true_totals[r.event_type]}
+    assert true_hh <= hh
+
+    # mismatched estimate params fail fast instead of returning garbage
+    with pytest.raises(SparkRuntimeException, match="mismatch"):
+        countmin_estimate(sk, cand, ["event_type"], "user_id", depth=4, width=512).collect()
+    with pytest.raises(ValueError):
+        countmin_sketch(ev, [], "user_id", depth=1)
+    with pytest.raises(ValueError):
+        cm_heavy_hitters(ev, [], "user_id", min_frac=0.0)
