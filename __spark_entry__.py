@@ -665,6 +665,25 @@ def q_cm_heavy(spark, sf_dir):
     )
 
 
+def q_bloom_decon(spark, sf_dir):
+    """Bloom-filter decontamination (operators/quality.py
+    decontaminate_bloom over sketches.py bloom_build): the eval-slice
+    5-gram set compressed to a 2^16-bit / 5-hash filter, corpus grams
+    probed against it. 63-bit words + md5-prefix bit positions keep the
+    whole filter integer-exact, so the oracle rebuilds it in DuckDB and
+    the (over-)counts match bit for bit."""
+    from pystreamfs_spark.operators.quality import decontaminate_bloom
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    r = decontaminate_bloom(d, bench, n=5, min_overlap=1, k_hashes=5, m_bits=1 << 16)
+    return r.select(
+        "doc_id",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        "contaminated",
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (operators/importance.py) of the documents
     corpus toward the src0 slice as the stand-in target domain: hashed
@@ -1405,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,  # NEW r05, rows-only (ln); NumPy parity
         "winnow": q_winnow,  # NEW r05, oracled; rotates into the r06 window
         "cm_heavy": q_cm_heavy,  # NEW r05, oracled; rotates into the r06 window
+        "bloom_decon": q_bloom_decon,  # NEW r05, oracled; rotates into the r06 window
         "budget_select": q_budget_select,  # NEW r05, oracled; rotates into the r06 window
         "mix_sources": q_mix_sources,  # NEW r05, oracled; rotates into the r06 window
         "lexicon_score": q_lexicon_score,  # NEW r05, oracled; rotates into the r06 window
@@ -2064,6 +2084,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t2.t) AS BIGINT) AS n_tokens,
                    CAST(len(t2.t) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_tokens_removed
             FROM toks t2 LEFT JOIN agg USING (doc_id)
+        """,
+        # Bloom decontamination: the 2^16-bit / 5-hash filter over the
+        # doc_id%97 eval slice's 5-grams rebuilt word-for-word (63-bit
+        # words, so no sign-bit shifts; bit_or / >> / & are exact BIGINT
+        # ops in both engines), then bool_and over the 5 probes per gram
+        "bloom_decon": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            g0 AS (SELECT doc_id,
+                          CASE WHEN len(t) >= 5
+                               THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                                     for i in range(1, len(t) - 3)]
+                               ELSE [] END AS grams
+                   FROM toks),
+            dg AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g0),
+            bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+            bpos AS (SELECT CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || gram), 1, 8)) AS BIGINT) % 65536 AS p
+                     FROM bg, range(5) r(r)),
+            words AS (SELECT p // 63 AS w,
+                             bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+                      FROM bpos GROUP BY 1),
+            dpos AS (SELECT doc_id, gram,
+                            CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || gram), 1, 8)) AS BIGINT) % 65536 AS p
+                     FROM dg, range(5) r(r)),
+            probe AS (SELECT d.doc_id, d.gram,
+                             bool_and(((COALESCE(wd.bits, 0) >> CAST(d.p % 63 AS INT)) & 1) = 1) AS hit
+                      FROM dpos d LEFT JOIN words wd ON wd.w = d.p // 63
+                      GROUP BY 1, 2),
+            ov AS (SELECT doc_id, COUNT(*) AS n_overlap FROM probe WHERE hit GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   COALESCE(ov.n_overlap, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
         """,
         # Count-Min heavy hitters: the sketch's md5-bucket cells rebuilt
         # verbatim (CAST hex prefix, % 512 on nonnegative = pmod), min over

@@ -204,6 +204,60 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 1,
+    k_hashes: int = 5,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """:func:`decontaminate` with the benchmark gram set compressed into a
+    fixed-size Bloom filter (operators/sketches.py:bloom_build) instead of
+    an exact broadcast — for when the eval suite itself is large (dozens
+    of benchmarks × millions of grams) or when many decontamination passes
+    reuse one persisted, mergeable filter.
+
+    The error is ONE-SIDED in the safe direction: a Bloom filter never
+    misses a present gram, so every truly contaminated document is flagged
+    and ``n_overlap`` never under-counts — false positives only ever
+    over-remove training data (rate ≈ (1-e^(-k·n/m))^k per probed gram).
+    Same output contract as :func:`decontaminate`: (id, n_overlap,
+    contaminated) for every corpus document.
+
+    Scale shape: the filter is m/63 longs regardless of benchmark size
+    (vs an exact gram set growing with the eval suite); the corpus side is
+    unchanged — occurrence-level grams, map-side probe, only matching rows
+    reach the per-doc count-distinct shuffle."""
+    from pystreamfs_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    bench_grams = (
+        _gram_table(benchmark, text_col, id_col, n).select("gram").distinct()
+    )
+    bloom = bloom_build(bench_grams, "gram", k_hashes=k_hashes, m_bits=m_bits)
+    doc_grams = _gram_table(corpus, text_col, id_col, n)
+    overlap = (
+        doc_grams.crossJoin(F.broadcast(bloom))
+        .where(bloom_might_contain(F.col("gram"), k_hashes, m_bits))
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("gram")).alias("n_overlap"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(overlap, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     text_col: str = "text",

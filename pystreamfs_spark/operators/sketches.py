@@ -296,3 +296,113 @@ def cm_heavy_hitters(
     )
     est = countmin_estimate(sk, cand, group_cols, item_col, depth, width)
     return est.where(F.col("est_count") >= F.col("cm_total") * F.lit(float(min_frac)))
+
+
+def bloom_build(
+    df: DataFrame,
+    item_col: str,
+    k_hashes: int = 5,
+    m_bits: int = 1 << 20,
+    group_cols: list[str] | None = None,
+    bloom_col: str = "bloom",
+) -> DataFrame:
+    """Portable Bloom filter over a column's distinct values: one row per
+    group with a SPARSE word map ``{bit_index // 63: OR of set bits}``.
+    Bit positions reuse the Count-Min md5-prefix hash (``_cm_bucket`` with
+    ``width=m_bits``), and words are 63 bits wide so every shift stays off
+    the sign bit — both choices keep the structure byte-identical in ANSI
+    SQL (the driver oracle rebuilds it in DuckDB), unlike Spark's internal
+    ``BloomFilterAggregate`` which is not registered as a SQL function.
+
+    Membership answers are one-sided: never "absent" for a present item;
+    false-positive rate ≈ (1 - e^(-k·n/m))^k. Blooms over disjoint inputs
+    merge losslessly with :func:`bloom_union` (bitwise OR — the sketch is
+    a pure union type, like HLL and unlike CM's sums).
+
+    Scale shape (100 TB): constant ``k_hashes`` explode, word aggregation
+    map-side-combines to <= m_bits/63 rows per partition before the
+    shuffle; the finished sketch is <= ~16·m/63 bytes per group and rides
+    a broadcast join at probe time."""
+    if k_hashes < 1:
+        raise ValueError(f"bloom_build: k_hashes must be >= 1, got {k_hashes}")
+    if m_bits < 63:
+        raise ValueError(f"bloom_build: m_bits must be >= 63, got {m_bits}")
+    gcols = list(group_cols or [])
+    item = F.col(item_col).cast("string")
+    positions = F.array(*[_cm_bucket(item, r, m_bits) for r in range(k_hashes)])
+    long_form = df.select(*gcols, F.explode(positions).alias("__pos"))
+    words = long_form.select(
+        *gcols,
+        F.floor(F.col("__pos") / F.lit(63)).cast("long").alias("__w"),
+        # call_function: the pyspark shiftleft wrapper only takes a Python
+        # int bit count, the SQL function takes a column
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.pmod(F.col("__pos"), F.lit(63)).cast("int"),
+        ).alias("__m"),
+    )
+    per_word = words.groupBy(*gcols, "__w").agg(F.bit_or("__m").alias("__bits"))
+    gb = per_word.groupBy(*gcols) if gcols else per_word.groupBy()
+    return (
+        gb.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__w"), F.col("__bits")))
+            ).alias(bloom_col)
+        )
+        .withColumn("bm_k", F.lit(k_hashes))
+        .withColumn("bm_bits", F.lit(m_bits))
+    )
+
+
+def bloom_union(
+    blooms: DataFrame,
+    to_cols: list[str] | None = None,
+    bloom_col: str = "bloom",
+) -> DataFrame:
+    """Bitwise-OR merge of Bloom filters up to ``to_cols`` granularity —
+    metadata-only, lossless (the union's filter is IDENTICAL to one built
+    over the concatenated inputs, asserted in tests). ``bm_k``/``bm_bits``
+    join the grouping key so mismatched-parameter blooms are never OR-ed
+    together."""
+    keys = list(to_cols or []) + ["bm_k", "bm_bits"]
+    ex = blooms.select(*keys, F.explode(F.col(bloom_col)).alias("__w", "__bits"))
+    per_word = ex.groupBy(*keys, "__w").agg(F.bit_or("__bits").alias("__bits"))
+    return per_word.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__w"), F.col("__bits")))
+        ).alias(bloom_col)
+    ).select(*(to_cols or []), bloom_col, "bm_k", "bm_bits")
+
+
+def bloom_might_contain(
+    item: Column,
+    k_hashes: int,
+    m_bits: int,
+    bloom_col: str = "bloom",
+) -> Column:
+    """Boolean membership-test EXPRESSION against a joined-in bloom map
+    column: all ``k_hashes`` bit positions set. Guarded per row against the
+    sketch's own ``bm_k``/``bm_bits`` (fail-fast inside the expression, the
+    countmin_estimate pattern). Each hash position's md5 is computed twice
+    (word + bit) — a constant 2k md5/item, accepted for expression-level
+    composability."""
+    tests = []
+    for r in range(k_hashes):
+        pos = _cm_bucket(item, r, m_bits)
+        word = F.floor(pos / F.lit(63)).cast("long")
+        bit = F.pmod(pos, F.lit(63)).cast("int")
+        looked = F.coalesce(
+            F.try_element_at(F.col(bloom_col), word), F.lit(0).cast("long")
+        )
+        tests.append(
+            F.call_function("shiftright", looked, bit).bitwiseAND(F.lit(1)) == 1
+        )
+    ok = tests[0]
+    for t in tests[1:]:
+        ok = ok & t
+    guard = F.assert_true(
+        (F.col("bm_k") == k_hashes) & (F.col("bm_bits") == m_bits),
+        F.lit("bloom_might_contain: k/m mismatch with the bloom build"),
+    )
+    return F.when(guard.isNull(), ok)

@@ -1925,3 +1925,62 @@ def test_countmin_guarantees_and_rollup_identity(spark, sf_dir):
         countmin_sketch(ev, [], "user_id", depth=1)
     with pytest.raises(ValueError):
         cm_heavy_hitters(ev, [], "user_id", min_frac=0.0)
+
+
+def test_bloom_one_sided_and_union_lossless(spark, sf_dir):
+    """Bloom membership never misses a present item; FP rate within ~3x of
+    the analytic bound on ghost probes; union of disjoint blooms is
+    word-identical to the one-shot filter; decontaminate_bloom flags a
+    superset of exact decontaminate with n_overlap >= exact."""
+    from pystreamfs_spark.operators.quality import decontaminate, decontaminate_bloom
+    from pystreamfs_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_union,
+    )
+
+    K, M = 5, 1 << 14
+    items = spark.range(2000).select(F.concat(F.lit("item-"), F.col("id")).alias("v"), (F.col("id") % 2).alias("half"))
+    bloom = bloom_build(items, "v", k_hashes=K, m_bits=M)
+
+    probes = spark.range(6000).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("v"), (F.col("id") < 2000).alias("present")
+    )
+    got = (
+        probes.crossJoin(F.broadcast(bloom))
+        .select("present", bloom_might_contain(F.col("v"), K, M).alias("hit"))
+        .groupBy("present")
+        .agg(F.sum(F.col("hit").cast("int")).alias("hits"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by = {r.present: r for r in got}
+    assert by[True].hits == by[True].n                      # zero false negatives
+    import math
+    fpp = (1 - math.exp(-K * 2000 / M)) ** K
+    assert by[False].hits / by[False].n <= max(3 * fpp, 0.01), (by[False].hits, fpp)
+
+    # union of per-half blooms == one-shot bloom, word for word
+    halves = bloom_build(items, "v", k_hashes=K, m_bits=M, group_cols=["half"])
+    one = {tuple(r) for r in bloom.select(F.explode("bloom")).collect()}
+    merged = {tuple(r) for r in bloom_union(halves, []).select(F.explode("bloom")).collect()}
+    assert one == merged
+
+    # k/m mismatch fails fast
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    with pytest.raises(SparkRuntimeException, match="mismatch"):
+        probes.crossJoin(F.broadcast(bloom)).select(
+            bloom_might_contain(F.col("v"), K, M * 2).alias("h")
+        ).collect()
+
+    # decontaminate_bloom: superset flags, n_overlap never below exact
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    exact = {r.doc_id: r for r in decontaminate(docs, bench, n=5).collect()}
+    approx = {r.doc_id: r for r in decontaminate_bloom(docs, bench, n=5, m_bits=1 << 16).collect()}
+    assert set(exact) == set(approx)
+    assert all(approx[i].n_overlap >= exact[i].n_overlap for i in exact)
+    assert all(approx[i].contaminated or not exact[i].contaminated for i in exact)
+    with pytest.raises(ValueError):
+        bloom_build(items, "v", k_hashes=0)
+    with pytest.raises(ValueError):
+        bloom_build(items, "v", m_bits=10)
