@@ -1339,7 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail oracles (strip_spans, budget_select, mix_sources,
         # lexicon_score, semantic_dedup, leak_split, cap_source,
         # vocab_top, ngram_common, quality_band, encode_vocab,
-        # clean_lines, line_dedup, winnow; each
+        # clean_lines, line_dedup, winnow, cm_heavy, bloom_decon; each
         # carries a three-scale local DuckDB proof) + first slots for the
         # new rows-only unigram_lm, dsir_weights and pq_ann +
         # every oracled entry rotated out in r05 whose last driver row is
