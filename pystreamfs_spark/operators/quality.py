@@ -258,6 +258,56 @@ def decontaminate_bloom(
     )
 
 
+def decontaminate_bloom_rowwise(
+    corpus: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 1,
+    k_hashes: int = 5,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Row-wise twin of :func:`decontaminate_bloom` against a PREBUILT
+    filter (the one-row frame :func:`~pystreamfs_spark.operators.sketches.
+    bloom_build` returns over the benchmark's grams): the document's
+    distinct n-grams stay a per-row ARRAY and each is probed with the
+    membership expression — no explode, no shuffle, no state. Per-document
+    output is bit-identical to :func:`decontaminate_bloom` (the probe is a
+    deterministic per-gram function; asserted in tests), and the plan runs
+    unchanged on a STREAMING DataFrame — the ingest-time decontamination
+    gate ``streaming.adapter.stream_decontaminate`` wraps. Build the bloom
+    once from the eval suite, persist it, and every ingest pipeline reuses
+    the same few-KB row.
+
+    Prefer the exploded :func:`decontaminate_bloom` for batch jobs with
+    pathological single documents (the per-row probe loop is linear per
+    gram but single-task per document); prefer this form for streams."""
+    from pystreamfs_spark.operators.sketches import bloom_might_contain
+
+    t = tokens(F.col(text_col))
+    g = F.when(F.size(t) >= n, shingles_from_tokens(t, n)).otherwise(
+        F.array().cast("array<string>")
+    )
+    bound = corpus.select(F.col(id_col), F.array_distinct(g).alias("__gd"))
+    joined = bound.crossJoin(F.broadcast(bloom))
+    n_overlap = F.size(
+        F.filter(
+            F.col("__gd"),
+            lambda x: bloom_might_contain(x, k_hashes, m_bits),
+        )
+    ).cast("long")
+    # two Projects: the probe expression is non-cheap, so referencing it
+    # twice in one select would re-run every md5 probe per reference
+    # (CollapseProject's used-once guard protects the split form)
+    counted = joined.select(F.col(id_col), n_overlap.alias("n_overlap"))
+    return counted.select(
+        F.col(id_col),
+        F.col("n_overlap"),
+        (F.col("n_overlap") >= min_overlap).alias("contaminated"),
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     text_col: str = "text",

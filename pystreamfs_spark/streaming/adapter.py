@@ -279,6 +279,41 @@ def stream_quality_signals(
     return repetition_signals_rowwise(stream_df, text_col=text_col, id_col=id_col, k=k)
 
 
+def stream_decontaminate(
+    stream_df: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 1,
+    k_hashes: int = 5,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Ingest-time benchmark decontamination — the streaming twin of
+    ``operators.quality.decontaminate_bloom``: probe each arriving
+    document's distinct n-grams against a PREBUILT Bloom filter of the
+    eval suite's grams (``operators.sketches.bloom_build``, one static
+    row, built once and reused by every pipeline). The stream-static
+    cross join of the single filter row broadcasts with the plan and the
+    probe is a pure per-row array expression, so the pass is completely
+    STATELESS — no watermark, no GroupState, no shuffle; per-document
+    output is bit-identical to the batch operator (parity asserted in
+    tests). Filter ``NOT contaminated`` to stop eval leakage before it
+    ever lands in a training shard."""
+    from pystreamfs_spark.operators.quality import decontaminate_bloom_rowwise
+
+    return decontaminate_bloom_rowwise(
+        stream_df,
+        bloom,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        min_overlap=min_overlap,
+        k_hashes=k_hashes,
+        m_bits=m_bits,
+    )
+
+
 def stream_exact_dedup(
     stream_df: DataFrame,
     text_col: str = "text",

@@ -375,3 +375,61 @@ def test_stream_clean_lines_matches_batch(spark, tmp_path):
     q.awaitTermination(300)
     streamed = key(spark.sql(f"select * from {q.name}").collect())
     assert streamed == batch
+
+
+def test_stream_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """Ingest-time bloom decontamination: rowwise == exploded batch plan
+    per document (exact, the probe is deterministic per gram), and the
+    stateless streaming pass over a file source matches both."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pystreamfs_spark.operators.quality import (
+        _gram_table,
+        decontaminate_bloom,
+        decontaminate_bloom_rowwise,
+    )
+    from pystreamfs_spark.operators.sketches import bloom_build
+    from pystreamfs_spark.streaming.adapter import stream_decontaminate
+
+    K, M, N = 5, 1 << 16, 5
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # short-doc edge: < n tokens -> no grams -> never contaminated
+    docs = docs.unionByName(
+        spark.createDataFrame([(900001, "tiny doc")], "doc_id bigint, text string")
+    )
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    bloom = bloom_build(
+        _gram_table(bench, "text", "doc_id", N).select("gram").distinct(),
+        "gram", k_hashes=K, m_bits=M,
+    )
+
+    def key(rows):
+        return {r.doc_id: (r.n_overlap, r.contaminated) for r in rows}
+
+    batch = key(decontaminate_bloom(docs, bench, n=N, k_hashes=K, m_bits=M).collect())
+    rowwise = key(
+        decontaminate_bloom_rowwise(docs, bloom, n=N, k_hashes=K, m_bits=M).collect()
+    )
+    assert rowwise == batch
+    assert any(v[1] for v in batch.values())          # planted leakage flagged
+    assert batch[900001] == (0, False)
+
+    src = str(tmp_path / "dsrc")
+    docs.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_decontaminate(stream, bloom, n=N, k_hashes=K, m_bits=M)
+        .writeStream.format("memory")
+        .queryName(f"dcn_{int(_time.time() * 1000)}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = key(spark.sql(f"select * from {q.name}").collect())
+    assert streamed == batch
