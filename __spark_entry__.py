@@ -684,6 +684,19 @@ def q_bloom_decon(spark, sf_dir):
     )
 
 
+def q_zorder(spark, sf_dir):
+    """Z-order clustering keys (operators/zorder.py): events bucketized to
+    8 bits per dimension over (user_id, value) min/max, Morton-interleaved.
+    Bucketization is fixed-order IEEE double arithmetic and the interleave
+    is pure integer shifts, so the oracle replays both exactly."""
+    from pystreamfs_spark.operators.zorder import add_zorder_key
+
+    k = add_zorder_key(
+        _t(spark, sf_dir, "events"), ["user_id", "value"], bits_per_dim=8
+    )
+    return k.select("event_id", F.col("zkey").cast("long").alias("zkey"))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (operators/importance.py) of the documents
     corpus toward the src0 slice as the stand-in target domain: hashed
@@ -1339,7 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail oracles (strip_spans, budget_select, mix_sources,
         # lexicon_score, semantic_dedup, leak_split, cap_source,
         # vocab_top, ngram_common, quality_band, encode_vocab,
-        # clean_lines, line_dedup, winnow, cm_heavy, bloom_decon; each
+        # clean_lines, line_dedup, winnow, cm_heavy, bloom_decon, zorder; each
         # carries a three-scale local DuckDB proof) + first slots for the
         # new rows-only unigram_lm, dsir_weights and pq_ann +
         # every oracled entry rotated out in r05 whose last driver row is
@@ -1425,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,  # NEW r05, oracled; rotates into the r06 window
         "cm_heavy": q_cm_heavy,  # NEW r05, oracled; rotates into the r06 window
         "bloom_decon": q_bloom_decon,  # NEW r05, oracled; rotates into the r06 window
+        "zorder": q_zorder,  # NEW r05, oracled; rotates into the r06 window
         "budget_select": q_budget_select,  # NEW r05, oracled; rotates into the r06 window
         "mix_sources": q_mix_sources,  # NEW r05, oracled; rotates into the r06 window
         "lexicon_score": q_lexicon_score,  # NEW r05, oracled; rotates into the r06 window
@@ -2085,6 +2099,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t2.t) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_tokens_removed
             FROM toks t2 LEFT JOIN agg USING (doc_id)
         """,
+        # Z-order keys: identical fixed-order double bucketization
+        # ((v-min)*255/(max-min), floor, clamp) then the 16-term Morton
+        # interleave on disjoint bit positions (+ == | there)
+        "zorder": """
+            WITH st AS (SELECT MIN(CAST(user_id AS DOUBLE)) AS minu,
+                               MAX(CAST(user_id AS DOUBLE)) AS maxu,
+                               MIN(value) AS minv, MAX(value) AS maxv
+                        FROM events),
+            b AS (SELECT e.event_id,
+                         LEAST(COALESCE(CAST(FLOOR((CAST(e.user_id AS DOUBLE) - st.minu) * 255.0 / (st.maxu - st.minu)) AS BIGINT), 0), 255) AS bx,
+                         LEAST(COALESCE(CAST(FLOOR((e.value - st.minv) * 255.0 / (st.maxv - st.minv)) AS BIGINT), 0), 255) AS by
+                  FROM events e, st)
+            SELECT event_id, CAST(__ZTERMS__ AS BIGINT) AS zkey FROM b
+        """.replace(
+            "__ZTERMS__",
+            " + ".join(
+                f"(((bx >> {b}) & 1) << {2 * b}) + (((by >> {b}) & 1) << {2 * b + 1})"
+                for b in range(8)
+            ),
+        ),
         # Bloom decontamination: the 2^16-bit / 5-hash filter over the
         # doc_id%97 eval slice's 5-grams rebuilt word-for-word (63-bit
         # words, so no sign-bit shifts; bit_or / >> / & are exact BIGINT

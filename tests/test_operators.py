@@ -1984,3 +1984,58 @@ def test_bloom_one_sided_and_union_lossless(spark, sf_dir):
         bloom_build(items, "v", k_hashes=0)
     with pytest.raises(ValueError):
         bloom_build(items, "v", m_bits=10)
+
+
+def test_zorder_interleave_parity_and_locality(spark):
+    """Bit-interleave matches a Python Morton reference; z-sorted layout
+    touches no more 64-row chunks than a 1-D sort for 2-D box queries and
+    strictly fewer on the trailing dimension; constant/NULL columns
+    bucketize to 0; bit-budget validation raises."""
+    from pystreamfs_spark.operators.zorder import add_zorder_key, interleave_bits
+
+    def morton(vals, bits, d):
+        out = 0
+        for i, v in enumerate(vals):
+            for b in range(bits):
+                out |= ((v >> b) & 1) << (b * d + i)
+        return out
+
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    d = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r.x, r.y): r.zkey
+        for r in d.select("x", "y", interleave_bits([F.col("x"), F.col("y")], 5).alias("zkey")).collect()
+    }
+    assert got == {(x, y): morton((x, y), 5, 2) for x, y in pts}
+
+    # add_zorder_key: full-range ints bucketize to themselves at 5 bits
+    # (min=0, max=31 -> identity), so keys equal the raw interleave
+    keyed = add_zorder_key(d, ["x", "y"], bits_per_dim=5)
+    assert {(r.x, r.y): r.zkey for r in keyed.collect()} == got
+
+    # locality: rows sorted by key, cut into 64-row chunks; a 8x8 box
+    # query must hit few chunks under z-order, many under lexicographic
+    def chunks_touched(order_key):
+        rows = sorted(((order_key(x, y), x, y) for x, y in pts))
+        hit = {
+            i // 64
+            for i, (_, x, y) in enumerate(rows)
+            if 8 <= x < 16 and 16 <= y < 24
+        }
+        return len(hit)
+
+    z_hits = chunks_touched(lambda x, y: got[(x, y)])
+    lex_hits = chunks_touched(lambda x, y: (x, y))
+    assert z_hits < lex_hits, (z_hits, lex_hits)
+
+    # constant + NULL columns -> bucket 0 (try_divide / coalesce paths)
+    dn = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (None, 5.0)], "a double, b double"
+    )
+    ks = add_zorder_key(dn, ["a", "b"], bits_per_dim=4).collect()
+    assert all(r.zkey == morton((bx, 0), 4, 2) for r, bx in zip(sorted(ks, key=lambda r: (r.a is None, r.a)), (0, 15, 0)))
+
+    with pytest.raises(ValueError):
+        interleave_bits([F.col("x")], 5)
+    with pytest.raises(ValueError):
+        interleave_bits([F.col("x"), F.col("y")], 32)
