@@ -259,6 +259,10 @@ def main() -> None:
         "clean_lines": lambda: entry_queries["clean_lines"](spark, sf_dir).count(),
         "line_dedup": lambda: entry_queries["line_dedup"](spark, sf_dir).count(),
         "dsir_weights": lambda: entry_queries["dsir_weights"](spark, sf_dir).count(),
+        "winnow": lambda: entry_queries["winnow"](spark, sf_dir).count(),
+        "cm_heavy": lambda: entry_queries["cm_heavy"](spark, sf_dir).count(),
+        "bloom_decon": lambda: entry_queries["bloom_decon"](spark, sf_dir).count(),
+        "zorder": lambda: entry_queries["zorder"](spark, sf_dir).count(),
         # r05: the hot-key pair — same job direct vs salted (scale-stress)
         "skew_direct": skew_direct_run,
         "skew_salted": skew_salted_run,

@@ -1848,6 +1848,31 @@ def test_winnow_fingerprints_bruteforce_parity(spark):
         winnow_fingerprints(d, k=0)
     with pytest.raises(ValueError):
         winnow_fingerprints(d, w=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(d, strategy="nope")
+
+    # strategy twins: the vectorized Arrow path and the pure-expression
+    # fold must emit the exact same (doc, pos, fp) set, incl. the edge
+    # docs (all-equal hashes, < k tokens, L < w)
+    fold = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(d, k=K, w=W, strategy="fold").collect()
+    }
+    arrow = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(d, k=K, w=W, strategy="arrow").collect()
+    }
+    assert fold == arrow
+    # and at w=2 / k=2 (different window regime)
+    fold2 = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(d, k=2, w=2, strategy="fold").collect()
+    }
+    arrow2 = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(d, k=2, w=2, strategy="arrow").collect()
+    }
+    assert fold2 == arrow2
 
 
 def test_winnow_shared_pairs_detects_planted_overlap(spark):
