@@ -261,8 +261,13 @@ def main() -> None:
         "dsir_weights": lambda: entry_queries["dsir_weights"](spark, sf_dir).count(),
         "winnow": lambda: entry_queries["winnow"](spark, sf_dir).count(),
         "cm_heavy": lambda: entry_queries["cm_heavy"](spark, sf_dir).count(),
-        "bloom_decon": lambda: entry_queries["bloom_decon"](spark, sf_dir).count(),
-        "zorder": lambda: entry_queries["zorder"](spark, sf_dir).count(),
+        # bloom_decon / zorder emit one row per input row, so a bare
+        # .count() would let Catalyst prune the probe join / Morton key
+        # entirely (the skew-pair collect_set lesson) — force via sum
+        "bloom_decon": lambda: entry_queries["bloom_decon"](spark, sf_dir)
+        .agg(F.sum("n_overlap")).collect(),
+        "zorder": lambda: entry_queries["zorder"](spark, sf_dir)
+        .agg(F.sum("zkey")).collect(),
         # r05: the hot-key pair — same job direct vs salted (scale-stress)
         "skew_direct": skew_direct_run,
         "skew_salted": skew_salted_run,
