@@ -1348,7 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new operator gets an immediate driver row), and the rows-only
         # bm25_top (r04-checked).
         # ofs_weights/prequential_ofs stay as the §2 kernel anchors.
-        # r06 rotation demand (execute next round): IN — the 13 NEW r05
+        # r06 rotation demand (execute next round): IN — the 17 NEW r05
         # tail oracles (strip_spans, budget_select, mix_sources,
         # lexicon_score, semantic_dedup, leak_split, cap_source,
         # vocab_top, ngram_common, quality_band, encode_vocab,
@@ -1359,7 +1359,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then one-round-stale (asof_join, strict_prefix, hourly,
         # session_window, rollup_revenue, event_pivot, fscr_sql,
         # nogueira_sql, lsh_ann, embedding_near_dups, dedup_components,
-        # simhash) + first slots for the rows-only pq_ann and bm25_top.
+        # simhash) + a slot for the rows-only bm25_top as space allows.
+        # That demand exceeds 50 — prioritize stale oracled entries over
+        # rows-only first-slots, and split the 17 new oracles across r06
+        # and r07 if needed (each stays within the two-round rule as long
+        # as its first driver row lands by r07).
         # OUT — r05-window entries that are then green in both r04 and
         # r05 (the 10 rotated-in r04 additions qualify first).
         "sessionize": q_sessionize,
@@ -2294,7 +2298,9 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT source, COUNT(*) AS __cnt FROM documents GROUP BY source),
             j AS (SELECT c.source, __cnt, __w FROM c JOIN w USING (source)),
             s AS (SELECT MIN(__cnt / __w) AS __scale FROM j),
-            t AS (SELECT source, FLOOR(__w * __scale / __cnt * 10000) AS __thr
+            t AS (SELECT source, CASE WHEN __cnt / __w = __scale THEN 10000
+                                      ELSE FLOOR(__w * __scale / __cnt * 10000)
+                                 END AS __thr
                   FROM j CROSS JOIN s)
             SELECT d.doc_id, d.source
             FROM documents d JOIN t USING (source)

@@ -297,6 +297,11 @@ def main() -> None:
     # entries can't fake (or hide) the salting win — the same reason
     # bench_scaling.py interleaves its levels
     pair = "skew_direct" in suite and "skew_salted" in suite
+    if "skew_direct" in suite or "skew_salted" in suite:
+        # build + cache the 24M-row skew frame OUTSIDE any timer: with
+        # BENCH_REPEAT=1 the lazy build would otherwise be charged entirely
+        # to whichever entry runs first, biasing the reported speedup
+        _skew_frame()
     seq = {k: v for k, v in suite.items() if not (pair and k.startswith("skew_"))}
     for name, fn in seq.items():
         best = float("inf")
@@ -334,10 +339,11 @@ def main() -> None:
         "fold_rows": n_turns,
         "fold_rows_per_sec": round(n_turns / fold_sec, 1) if fold_sec else None,
     }
-    if timings.get("skew_salted"):
+    if timings.get("skew_salted") and timings.get("skew_direct"):
         result["skew_salting_speedup"] = round(
             timings["skew_direct"] / timings["skew_salted"], 2
         )
+    if "skew_salted" in timings or "skew_direct" in timings:
         result["skew_rows"] = n_skew
     spark.stop()
     print(json.dumps(result))

@@ -119,7 +119,12 @@ def repetition_signals_rowwise(
     tests). Prefer the grouped :func:`repetition_signals` for batch jobs
     with pathological single documents (the HOF scan is quadratic in the
     worst case); prefer this form for streams and map-only pipelines."""
-    t = tokens(F.col(text_col))
+    # NULL text -> zero tokens, matching the grouped twin (whose explode
+    # emits no rows for a NULL array, left-joining back as count 0); a bare
+    # tokens(NULL) would propagate NULL through size() into n_tokens
+    t = F.when(
+        F.col(text_col).isNull(), F.array().cast("array<string>")
+    ).otherwise(tokens(F.col(text_col)))
     g = F.when(F.size(t) >= k, shingles_from_tokens(t, k)).otherwise(
         F.array().cast("array<string>")
     )

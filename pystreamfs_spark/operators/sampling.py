@@ -171,10 +171,19 @@ def mix_to_proportions(
         j.crossJoin(F.broadcast(scale))
         .select(
             source_col,
-            # left-assoc double chain — written identically in the SQL oracle
-            F.floor(F.col("__w") * F.col("__scale") / F.col("__cnt") * n_buckets).alias(
-                "__thr"
-            ),
+            # the limiting source's rate is exactly 1.0 only in real
+            # arithmetic; w*scale/cnt in doubles can land at 0.999...,
+            # silently dropping ~1/n_buckets of the source the docstring
+            # promises to keep whole. Its __cnt/__w IS the double the min
+            # picked, so the equality test is exact — clamp it to
+            # n_buckets. Others: left-assoc double chain, written
+            # identically in the SQL oracle.
+            F.when(F.col("__cnt") / F.col("__w") == F.col("__scale"), F.lit(n_buckets))
+            .otherwise(
+                F.floor(F.col("__w") * F.col("__scale") / F.col("__cnt") * n_buckets)
+            )
+            .cast("long")
+            .alias("__thr"),
         )
     )
     b = hash_bucket(F.col(key_col), n_buckets, salt)

@@ -207,10 +207,10 @@ def countmin_rollup(
     keys = list(to_cols) + ["cm_depth", "cm_width"]
     ex = sketches.select(
         *keys,
-        F.col(total_col).alias("__t"),
         F.explode(F.col(sketch_col)).alias("__cell", "__cnt"),
     )
-    # a row's total repeats once per cell: aggregate it pre-explode instead
+    # a row's total would repeat once per cell through the explode:
+    # aggregate totals from the un-exploded frame instead
     totals = sketches.groupBy(*keys).agg(F.sum(total_col).alias(total_col))
     per_cell = ex.groupBy(*keys, "__cell").agg(F.sum("__cnt").alias("__cnt"))
     merged = per_cell.groupBy(*keys).agg(

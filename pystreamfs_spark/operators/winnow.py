@@ -158,7 +158,10 @@ def winnow_fingerprints(
     if strategy not in ("arrow", "fold"):
         raise ValueError(f"unknown strategy {strategy!r} (use 'arrow' or 'fold')")
 
-    t = tokens(F.col(text_col))
+    # NULL text coalesces to '' (the substr.py precedent): one empty token
+    # < k -> the single whole-text shingle, so __h is non-null by
+    # construction and both strategies see the same arrays
+    t = tokens(F.coalesce(F.col(text_col), F.lit("")))
     bound = df.select(F.col(id_col), t.alias("__t"))
     grams = shingles_from_tokens(F.col("__t"), k)
     hashed = bound.select(

@@ -1286,6 +1286,15 @@ def test_mix_to_proportions_limiting_source_kept_whole(spark):
     with pytest.raises(ValueError, match="positive"):
         mix_to_proportions(d, {"a": 0.0})
 
+    # float-rounding adversary: w*(cnt/w)/cnt lands at 0.999... in doubles
+    # for (55, 0.7) — without the exact-equality clamp the limiting source
+    # x would get threshold 19/20 and lose the 4 docs hashing to bucket 19
+    # (verified against the md5 rule) instead of staying whole
+    rows2 = [(i, "x") for i in range(55)] + [(1_000 + i, "y") for i in range(500)]
+    d2 = spark.createDataFrame(rows2, "doc_id bigint, source string")
+    out2 = mix_to_proportions(d2, {"x": 0.7, "y": 0.3}, key_col="doc_id", n_buckets=20)
+    assert out2.where(F.col("source") == "x").count() == 55
+
 
 def test_lexicon_score_hand_values(spark):
     """bias + Σ weight[token]: normalized lowercase tokens, unknown tokens
@@ -1820,13 +1829,15 @@ def test_winnow_fingerprints_bruteforce_parity(spark):
         2: "tiny",                                  # < k tokens -> single whole-text shingle
         3: "one two three four",                    # L < w -> single truncated window
         4: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        5: "",                                      # empty text -> the ''-shingle fingerprint
+        6: None,                                    # NULL text coalesces to '' (substr precedent)
     }
     d = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
     got = {}
     for r in winnow_fingerprints(d, k=K, w=W).collect():
         got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
     for i, txt in docs.items():
-        assert got[i] == brute(txt), (i, got[i], brute(txt))
+        assert got[i] == brute(txt or ""), (i, got[i], brute(txt or ""))
     # all-equal doc: every window selects its rightmost position
     n_grams1 = len(docs[1].split()) - K + 1
     assert got[1] == {(p, next(iter(got[1]))[1]) for p in range(W - 1, n_grams1)}

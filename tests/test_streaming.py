@@ -294,7 +294,14 @@ def test_stream_quality_signals_matches_batch(spark, sf_dir, tmp_path):
     # edge rows the grouped/rowwise twins must agree on: short doc (< k
     # tokens), single-token doc, repeated-token doc
     extra = spark.createDataFrame(
-        [(900001, "tiny doc"), (900002, "one"), (900003, "rep rep rep rep rep")],
+        [
+            (900001, "tiny doc"),
+            (900002, "one"),
+            (900003, "rep rep rep rep rep"),
+            # NULL text: grouped gives n_tokens=0 (explode emits no rows);
+            # rowwise must match, not propagate NULL through size()
+            (900004, None),
+        ],
         "doc_id bigint, text string",
     )
     docs = docs.unionByName(extra)
