@@ -2075,3 +2075,49 @@ def test_zorder_interleave_parity_and_locality(spark):
         interleave_bits([F.col("x")], 5)
     with pytest.raises(ValueError):
         interleave_bits([F.col("x"), F.col("y")], 32)
+
+
+def test_cluster_by_zorder_file_locality(spark, tmp_path):
+    """The written z-clustered layout concentrates a 2-D box query into
+    few files, while a round-robin layout of the same rows spreads it over
+    all of them — the data-skipping property the operator exists for.
+    Both layouts must return the identical row set."""
+    from pystreamfs_spark.operators.zorder import cluster_by_zorder
+
+    n, n_files = 65_536, 16
+    d = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.col("id"), F.lit(256)).alias("x"),
+        F.pmod(F.col("id") * 37 + 11, F.lit(256)).alias("y"),
+    )
+    zpath, rpath = str(tmp_path / "zorder"), str(tmp_path / "roundrobin")
+    cluster_by_zorder(d, ["x", "y"], n_files, bits_per_dim=8).write.parquet(zpath)
+    d.repartition(n_files).write.parquet(rpath)
+
+    pred = (
+        (F.col("x") >= 32) & (F.col("x") < 96) & (F.col("y") >= 32) & (F.col("y") < 96)
+    )  # 1/16 of the 256x256 space
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .where(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    zf, rf = files_touched(zpath), files_touched(rpath)
+    # round-robin spreads matches across every file; the z-curve keeps a
+    # 1/16 box inside a handful (z-boundary crossings cost a few extra)
+    assert rf == n_files, rf
+    assert zf <= n_files // 2, (zf, rf)
+
+    za = spark.read.parquet(zpath).where(pred).select("event_id")
+    ra = spark.read.parquet(rpath).where(pred).select("event_id")
+    assert za.exceptAll(ra).count() == 0 and ra.exceptAll(za).count() == 0
+
+    with pytest.raises(ValueError):
+        cluster_by_zorder(d, ["x", "y"], 0)
+    # keep_key=True retains the zkey column for layout audits
+    assert "zkey" in cluster_by_zorder(d, ["x", "y"], 4, keep_key=True).columns
