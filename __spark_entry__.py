@@ -697,6 +697,20 @@ def q_zorder(spark, sf_dir):
     return k.select("event_id", F.col("zkey").cast("long").alias("zkey"))
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic (operators/drift.py):
+    has the value distribution of 'click' events drifted from 'purchase'
+    events? Exactly oracle-able: per-value counts and cumulative sums are
+    integers, and the final division/abs/MAX are order-independent IEEE
+    double ops (a MAX of exact divisions has no sum-of-doubles
+    reassociation hazard), so DuckDB replays it bit for bit."""
+    from pystreamfs_spark.operators.drift import ks_2sample
+
+    return ks_2sample(
+        _t(spark, sf_dir, "events"), "value", "event_type", "click", "purchase"
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (operators/importance.py) of the documents
     corpus toward the src0 slice as the stand-in target domain: hashed
@@ -1348,11 +1362,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new operator gets an immediate driver row), and the rows-only
         # bm25_top (r04-checked).
         # ofs_weights/prequential_ofs stay as the §2 kernel anchors.
-        # r06 rotation demand (execute next round): IN — the 17 NEW r05
+        # r06 rotation demand (execute next round): IN — the 18 NEW r05
         # tail oracles (strip_spans, budget_select, mix_sources,
         # lexicon_score, semantic_dedup, leak_split, cap_source,
-        # vocab_top, ngram_common, quality_band, encode_vocab,
-        # clean_lines, line_dedup, winnow, cm_heavy, bloom_decon, zorder; each
+        # vocab_top, ngram_common, quality_band, encode_vocab, clean_lines,
+        # line_dedup, winnow, cm_heavy, bloom_decon, zorder, ks_drift; each
         # carries a three-scale local DuckDB proof) + first slots for the
         # new rows-only unigram_lm, dsir_weights and pq_ann +
         # every oracled entry rotated out in r05 whose last driver row is
@@ -1443,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy": q_cm_heavy,  # NEW r05, oracled; rotates into the r06 window
         "bloom_decon": q_bloom_decon,  # NEW r05, oracled; rotates into the r06 window
         "zorder": q_zorder,  # NEW r05, oracled; rotates into the r06 window
+        "ks_drift": q_ks_drift,  # NEW r05, oracled; rotates into the r06 window
         "budget_select": q_budget_select,  # NEW r05, oracled; rotates into the r06 window
         "mix_sources": q_mix_sources,  # NEW r05, oracled; rotates into the r06 window
         "lexicon_score": q_lexicon_score,  # NEW r05, oracled; rotates into the r06 window
@@ -2123,6 +2138,26 @@ def oracle_sql() -> dict[str, str]:
                 for b in range(8)
             ),
         ),
+        # two-sample KS: per-value integer counts + cumulative sums, then
+        # MAX(|cdf_a - cdf_b|) — the divisions are exact-int-to-double and
+        # MAX is order-independent, so the double is bit-identical
+        "ks_drift": """
+            WITH base AS (SELECT value AS v, event_type AS s FROM events
+                          WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+            c AS (SELECT v,
+                         SUM(CASE WHEN s = 'click' THEN 1 ELSE 0 END) AS ca,
+                         SUM(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END) AS cb
+                  FROM base GROUP BY v),
+            n AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
+            cum AS (SELECT SUM(ca) OVER (ORDER BY v) AS cua,
+                           SUM(cb) OVER (ORDER BY v) AS cub
+                    FROM c)
+            SELECT MAX(ABS(CAST(cua AS DOUBLE) / CAST(na AS DOUBLE)
+                           - CAST(cub AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks,
+                   CAST(MAX(na) AS BIGINT) AS n_a,
+                   CAST(MAX(nb) AS BIGINT) AS n_b
+            FROM cum CROSS JOIN n
+        """,
         # Bloom decontamination: the 2^16-bit / 5-hash filter over the
         # doc_id%97 eval slice's 5-grams rebuilt word-for-word (63-bit
         # words, so no sign-bit shifts; bit_or / >> / & are exact BIGINT

@@ -268,6 +268,7 @@ def main() -> None:
         .agg(F.sum("n_overlap")).collect(),
         "zorder": lambda: entry_queries["zorder"](spark, sf_dir)
         .agg(F.sum("zkey")).collect(),
+        "ks_drift": lambda: entry_queries["ks_drift"](spark, sf_dir).collect(),
         # r05: the hot-key pair — same job direct vs salted (scale-stress)
         "skew_direct": skew_direct_run,
         "skew_salted": skew_salted_run,

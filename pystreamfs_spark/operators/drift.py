@@ -1,0 +1,123 @@
+"""Distribution-drift detection: the two-sample Kolmogorov–Smirnov
+statistic between two slices of a numeric column — the classic
+nonparametric "did this feature's distribution move?" test behind data
+drift monitors. The reference's whole domain is feature selection under
+concept drift (pystreamfs/algorithms/mcnn.py drives cluster death /
+re-selection off detected drift); this operator surfaces the drift
+measurement itself as a relational primitive, per the north rule's
+superset mandate (the reference exposes no drift statistic API).
+
+KS = max over the merged sample of |F̂_a(v) − F̂_b(v)|, where F̂ is the
+empirical CDF. Everything up to the final division is exact integer
+arithmetic (per-value counts, cumulative sums), and the division / abs /
+max are order-independent IEEE double ops — so a SQL oracle replaying the
+same expressions is bit-identical (unlike sum-of-doubles statistics, a
+MAX of exact divisions has no reassociation hazard).
+
+Scale notes (100 TB):
+- One groupBy(value) count (shuffle O(distinct values), map-side combined)
+  collapses the data to the distinct-value relation before any ordering.
+- The cumulative count is a DISTRIBUTED prefix sum, not one global window
+  (which would serialize every distinct value through a single task): the
+  value range is cut into ``n_buckets`` order-aligned range buckets (one
+  single-row min/max broadcast), cumsums run partition-parallel within
+  buckets, and only the n_buckets-row bucket-total table sees an ordered
+  window before broadcasting back — the pack_token_stream pattern
+  (operators/chunk.py:56).
+- The result is a single row; nothing is collected driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ks_2sample(
+    df: DataFrame,
+    value_col: str,
+    slice_col: str,
+    slice_a,
+    slice_b,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Two-sample KS statistic between the rows where ``slice_col`` equals
+    ``slice_a`` vs ``slice_b``. Returns ONE row: (ks double, n_a bigint,
+    n_b bigint). NULL values are excluded from both samples (a NULL has no
+    position on the value axis); an empty side yields ks = NULL via
+    try_divide — test for it rather than crashing a monitoring job.
+
+    Ties are handled exactly: both CDFs step at each distinct value by
+    that value's full count, which is the correct KS treatment of tied
+    observations."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if slice_a == slice_b:
+        raise ValueError("slice_a and slice_b must differ")
+
+    v = F.col(value_col)
+    s = F.col(slice_col)
+    base = df.where(v.isNotNull() & s.isin([slice_a, slice_b]))
+    counts = base.groupBy(v.alias("__v")).agg(
+        F.sum(F.when(s == slice_a, 1).otherwise(0)).cast("long").alias("__ca"),
+        F.sum(F.when(s == slice_b, 1).otherwise(0)).cast("long").alias("__cb"),
+    )
+
+    # order-aligned range buckets over the value axis: floor of a
+    # monotone map keeps bucket(v1) <= bucket(v2) whenever v1 <= v2, so
+    # the bucket prefix + within-bucket cumsum IS the global cumsum
+    bounds = counts.agg(
+        F.min("__v").cast("double").alias("__lo"),
+        F.max("__v").cast("double").alias("__hi"),
+    )
+    span = F.col("__hi") - F.col("__lo")
+    bucket = F.least(
+        F.coalesce(
+            F.floor(
+                F.try_divide(
+                    (F.col("__v").cast("double") - F.col("__lo")) * n_buckets, span
+                )
+            ),
+            F.lit(0),  # constant axis (hi == lo): everything in bucket 0
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    with_b = counts.crossJoin(F.broadcast(bounds)).withColumn("__b", bucket).drop(
+        "__lo", "__hi"
+    )
+
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = with_b.withColumn("__cum_a", F.sum("__ca").over(w_in)).withColumn(
+        "__cum_b", F.sum("__cb").over(w_in)
+    )
+    totals = cum.groupBy("__b").agg(
+        F.sum("__ca").alias("__ta"), F.sum("__cb").alias("__tb")
+    )
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "__b",
+        F.coalesce(F.sum("__ta").over(w_b), F.lit(0)).alias("__pre_a"),
+        F.coalesce(F.sum("__tb").over(w_b), F.lit(0)).alias("__pre_b"),
+    )
+    n = base.agg(
+        F.sum(F.when(s == slice_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(s == slice_b, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    joined = cum.join(F.broadcast(prefix), "__b").crossJoin(F.broadcast(n))
+    cdf_a = F.try_divide(
+        (F.col("__pre_a") + F.col("__cum_a")).cast("double"),
+        F.col("n_a").cast("double"),
+    )
+    cdf_b = F.try_divide(
+        (F.col("__pre_b") + F.col("__cum_b")).cast("double"),
+        F.col("n_b").cast("double"),
+    )
+    return joined.agg(
+        F.max(F.abs(cdf_a - cdf_b)).alias("ks"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )

@@ -2121,3 +2121,52 @@ def test_cluster_by_zorder_file_locality(spark, tmp_path):
         cluster_by_zorder(d, ["x", "y"], 0)
     # keep_key=True retains the zkey column for layout audits
     assert "zkey" in cluster_by_zorder(d, ["x", "y"], 4, keep_key=True).columns
+
+
+def test_ks_2sample_exact_reference(spark):
+    """Two-sample KS equals a Python reference EXACTLY (integer cumsums +
+    order-independent double division/abs/max — no reassociation hazard);
+    ties step the CDF by the full count; NULL values are excluded; an
+    empty side yields NULL; the distributed prefix sum is bucket-count
+    invariant."""
+    from pystreamfs_spark.operators.drift import ks_2sample
+
+    def ks_ref(a, b):
+        na, nb = len(a), len(b)
+        ca = cb = 0
+        best = 0.0
+        for v in sorted(set(a) | set(b)):
+            ca += a.count(v)
+            cb += b.count(v)
+            best = max(best, abs(ca / na - cb / nb))
+        return best
+
+    a = [1.0, 2.0, 2.0, 3.5, 3.5, 3.5, 7.25, 9.0, 9.0, 12.0]
+    b = [2.0, 2.0, 2.0, 4.0, 5.5, 7.25, 8.0, 9.0, 14.0]
+    rows = [(x, "a") for x in a] + [(x, "b") for x in b] + [(None, "a"), (99.0, "c")]
+    d = spark.createDataFrame(rows, "v double, s string")
+
+    for nbuck in (1, 3, 256):  # serial twin, cross-bucket seams, default
+        r = ks_2sample(d, "v", "s", "a", "b", n_buckets=nbuck).collect()[0]
+        assert (r.ks, r.n_a, r.n_b) == (ks_ref(a, b), len(a), len(b)), nbuck
+
+    # identical samples -> 0.0; disjoint supports -> 1.0
+    same = spark.createDataFrame([(x, s) for x in a for s in ("a", "b")], "v double, s string")
+    assert ks_2sample(same, "v", "s", "a", "b").collect()[0].ks == 0.0
+    disj = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (10.0, "b"), (11.0, "b")], "v double, s string"
+    )
+    assert ks_2sample(disj, "v", "s", "a", "b").collect()[0].ks == 1.0
+
+    # empty side -> NULL ks (try_divide), not a crash
+    r = ks_2sample(d, "v", "s", "a", "nosuch").collect()[0]
+    assert r.ks is None and r.n_a == len(a) and r.n_b == 0
+
+    # constant value axis (hi == lo): everything lands in bucket 0
+    const = spark.createDataFrame([(5.0, "a"), (5.0, "b")], "v double, s string")
+    assert ks_2sample(const, "v", "s", "a", "b").collect()[0].ks == 0.0
+
+    with pytest.raises(ValueError):
+        ks_2sample(d, "v", "s", "a", "a")
+    with pytest.raises(ValueError):
+        ks_2sample(d, "v", "s", "a", "b", n_buckets=0)
