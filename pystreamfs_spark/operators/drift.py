@@ -40,12 +40,17 @@ def ks_2sample(
     slice_a,
     slice_b,
     n_buckets: int = 256,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-sample KS statistic between the rows where ``slice_col`` equals
-    ``slice_a`` vs ``slice_b``. Returns ONE row: (ks double, n_a bigint,
-    n_b bigint). NULL values are excluded from both samples (a NULL has no
-    position on the value axis); an empty side yields ks = NULL via
-    try_divide — test for it rather than crashing a monitoring job.
+    ``slice_a`` vs ``slice_b``. Returns ONE row (ks double, n_a bigint,
+    n_b bigint) — or one row per group when ``group_cols`` is given (the
+    production monitoring shape: every feature/source/day pair scored in
+    a single pass; the value axis is bucketized per group against that
+    group's own min/max). NULL values are excluded from both samples (a
+    NULL has no position on the value axis); an empty side yields
+    ks = NULL via try_divide — test for it rather than crashing a
+    monitoring job.
 
     Ties are handled exactly: both CDFs step at each distinct value by
     that value's full count, which is the correct KS treatment of tied
@@ -54,19 +59,20 @@ def ks_2sample(
         raise ValueError("n_buckets must be >= 1")
     if slice_a == slice_b:
         raise ValueError("slice_a and slice_b must differ")
+    g = list(group_cols or [])
 
     v = F.col(value_col)
     s = F.col(slice_col)
     base = df.where(v.isNotNull() & s.isin([slice_a, slice_b]))
-    counts = base.groupBy(v.alias("__v")).agg(
+    counts = base.groupBy(*g, v.alias("__v")).agg(
         F.sum(F.when(s == slice_a, 1).otherwise(0)).cast("long").alias("__ca"),
         F.sum(F.when(s == slice_b, 1).otherwise(0)).cast("long").alias("__cb"),
     )
 
-    # order-aligned range buckets over the value axis: floor of a
-    # monotone map keeps bucket(v1) <= bucket(v2) whenever v1 <= v2, so
-    # the bucket prefix + within-bucket cumsum IS the global cumsum
-    bounds = counts.agg(
+    # order-aligned range buckets over the (per-group) value axis: floor
+    # of a monotone map keeps bucket(v1) <= bucket(v2) whenever v1 <= v2,
+    # so the bucket prefix + within-bucket cumsum IS the global cumsum
+    bounds = counts.groupBy(*g).agg(
         F.min("__v").cast("double").alias("__lo"),
         F.max("__v").cast("double").alias("__hi"),
     )
@@ -82,32 +88,41 @@ def ks_2sample(
         ),
         F.lit(n_buckets - 1),
     ).cast("int")
-    with_b = counts.crossJoin(F.broadcast(bounds)).withColumn("__b", bucket).drop(
-        "__lo", "__hi"
+    joined_bounds = (
+        counts.join(F.broadcast(bounds), g) if g else counts.crossJoin(F.broadcast(bounds))
     )
+    with_b = joined_bounds.withColumn("__b", bucket).drop("__lo", "__hi")
 
     w_in = (
-        Window.partitionBy("__b")
+        Window.partitionBy(*g, "__b")
         .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = with_b.withColumn("__cum_a", F.sum("__ca").over(w_in)).withColumn(
         "__cum_b", F.sum("__cb").over(w_in)
     )
-    totals = cum.groupBy("__b").agg(
+    totals = cum.groupBy(*g, "__b").agg(
         F.sum("__ca").alias("__ta"), F.sum("__cb").alias("__tb")
     )
-    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    # the only ordered step: n_groups × n_buckets rows (per-group when
+    # grouped — partitionBy keeps it parallel across groups)
+    w_b = (
+        Window.partitionBy(*g).orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+        if g
+        else Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    )
     prefix = totals.select(
+        *g,
         "__b",
         F.coalesce(F.sum("__ta").over(w_b), F.lit(0)).alias("__pre_a"),
         F.coalesce(F.sum("__tb").over(w_b), F.lit(0)).alias("__pre_b"),
     )
-    n = base.agg(
+    n = base.groupBy(*g).agg(
         F.sum(F.when(s == slice_a, 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(s == slice_b, 1).otherwise(0)).cast("long").alias("n_b"),
     )
-    joined = cum.join(F.broadcast(prefix), "__b").crossJoin(F.broadcast(n))
+    withpre = cum.join(F.broadcast(prefix), g + ["__b"])
+    joined = withpre.join(F.broadcast(n), g) if g else withpre.crossJoin(F.broadcast(n))
     cdf_a = F.try_divide(
         (F.col("__pre_a") + F.col("__cum_a")).cast("double"),
         F.col("n_a").cast("double"),
@@ -116,7 +131,7 @@ def ks_2sample(
         (F.col("__pre_b") + F.col("__cum_b")).cast("double"),
         F.col("n_b").cast("double"),
     )
-    return joined.agg(
+    return joined.groupBy(*g).agg(
         F.max(F.abs(cdf_a - cdf_b)).alias("ks"),
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"),

@@ -2170,3 +2170,18 @@ def test_ks_2sample_exact_reference(spark):
         ks_2sample(d, "v", "s", "a", "a")
     with pytest.raises(ValueError):
         ks_2sample(d, "v", "s", "a", "b", n_buckets=0)
+
+    # grouped = one pass over many slices; each group must equal the
+    # ungrouped statistic on that group's subset exactly
+    ga = [(x, "a", "g1") for x in a] + [(x, "b", "g1") for x in b]
+    gb = [(x + 0.5, "a", "g2") for x in a] + [(x, "b", "g2") for x in b]
+    dg = spark.createDataFrame(ga + gb, "v double, s string, grp string")
+    grouped = {
+        r.grp: (r.ks, r.n_a, r.n_b)
+        for r in ks_2sample(dg, "v", "s", "a", "b", n_buckets=3, group_cols=["grp"]).collect()
+    }
+    for grp in ("g1", "g2"):
+        solo = ks_2sample(
+            dg.where(F.col("grp") == grp), "v", "s", "a", "b", n_buckets=3
+        ).collect()[0]
+        assert grouped[grp] == (solo.ks, solo.n_a, solo.n_b), grp
