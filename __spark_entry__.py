@@ -711,6 +711,21 @@ def q_ks_drift(spark, sf_dir):
     )
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index (operators/drift.py psi): Laplace-
+    smoothed equal-width-bin PSI of the events value column, 'click' vs
+    'purchase'. ln is transcendental -> rows-only driver check (the
+    bm25/dsir contract); the per-bin terms are integer-exact and summed by
+    a deterministic ascending-bin fold, parity-tested vs a Python
+    reference."""
+    from pystreamfs_spark.operators.drift import psi
+
+    return psi(
+        _t(spark, sf_dir, "events"), "value", "event_type", "click", "purchase",
+        n_bins=10,
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (operators/importance.py) of the documents
     corpus toward the src0 slice as the stand-in target domain: hashed
@@ -1368,7 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocab_top, ngram_common, quality_band, encode_vocab, clean_lines,
         # line_dedup, winnow, cm_heavy, bloom_decon, zorder, ks_drift; each
         # carries a three-scale local DuckDB proof) + first slots for the
-        # new rows-only unigram_lm, dsir_weights and pq_ann +
+        # new rows-only unigram_lm, dsir_weights, psi_drift and pq_ann +
         # every oracled entry rotated out in r05 whose last driver row is
         # then one-round-stale (asof_join, strict_prefix, hourly,
         # session_window, rollup_revenue, event_pivot, fscr_sql,
@@ -1469,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_band": q_quality_band,  # NEW r05, oracled; rotates into the r06 window
         "encode_vocab": q_encode_vocab,  # NEW r05, oracled; rotates into the r06 window
         "unigram_lm": q_unigram_lm,  # NEW r05, rows-only: ln is transcendental
+        "psi_drift": q_psi_drift,  # NEW r05, rows-only: ln is transcendental
         "bm25_top": q_bm25_top,  # rows-only: ln-idf is transcendental
         "resized_features": q_resized_features,
         "multimodal_features": q_multimodal_features,

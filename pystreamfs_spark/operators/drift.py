@@ -136,3 +136,94 @@ def ks_2sample(
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"),
     )
+
+
+def psi(
+    df: DataFrame,
+    value_col: str,
+    slice_col: str,
+    slice_a,
+    slice_b,
+    n_bins: int = 10,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Population Stability Index between two slices — the industry
+    monitoring score (rule of thumb: < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 shifted): equal-width bins over the COMBINED value range (both
+    slices share one axis, or the comparison is meaningless), add-one
+    (Laplace) smoothing so empty bins stay finite WITHOUT an arbitrary
+    epsilon — p = (count+1)/(n+n_bins), all-integer until the division —
+    then PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b).
+
+    ln is transcendental (engine-specific last-ulp), so this is a
+    rows-only driver check like BM25/DSIR — but the arithmetic is pinned:
+    the per-bin terms are summed by a deterministic ascending-bin fold
+    (sort_array + aggregate over ≤ n_bins elements), never a
+    reassociating SUM, so the result is bit-stable run to run and matches
+    a Python reference iterating bins in order to ~1 ulp (JVM Math.log vs
+    libm log may differ in the last bit; everything else is exact).
+
+    Returns (psi double, n_a bigint, n_b bigint), one row per group (or
+    one row total). NULL values excluded. Scale shape: one groupBy
+    histogram (shuffle O(groups × n_bins)) after a broadcast bounds join —
+    the data is never re-shuffled or collected."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    if slice_a == slice_b:
+        raise ValueError("slice_a and slice_b must differ")
+    g = list(group_cols or [])
+
+    v = F.col(value_col)
+    s = F.col(slice_col)
+    base = df.where(v.isNotNull() & s.isin([slice_a, slice_b]))
+    bounds = base.groupBy(*g).agg(
+        F.min(v.cast("double")).alias("__lo"), F.max(v.cast("double")).alias("__hi")
+    )
+    wb = base.join(F.broadcast(bounds), g) if g else base.crossJoin(F.broadcast(bounds))
+    bin_ = F.least(
+        F.coalesce(
+            F.floor(
+                F.try_divide(
+                    (v.cast("double") - F.col("__lo")) * n_bins,
+                    F.col("__hi") - F.col("__lo"),
+                )
+            ),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    hist = wb.groupBy(*g, bin_.alias("__bin")).agg(
+        F.sum(F.when(s == slice_a, 1).otherwise(0)).cast("long").alias("__ca"),
+        F.sum(F.when(s == slice_b, 1).otherwise(0)).cast("long").alias("__cb"),
+    )
+    n = hist.groupBy(*g).agg(
+        F.sum("__ca").alias("n_a"), F.sum("__cb").alias("n_b")
+    )
+    # full bin grid: a bin empty in BOTH slices still contributes under
+    # Laplace smoothing whenever n_a != n_b — left-join the histogram
+    # onto groups × [0, n_bins) and zero-fill
+    grid = n.withColumn("__bin", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))))
+    j = (
+        grid.join(hist, g + ["__bin"], "left")
+        .withColumn("__ca", F.coalesce("__ca", F.lit(0)))
+        .withColumn("__cb", F.coalesce("__cb", F.lit(0)))
+    )
+    pa = F.try_divide(
+        (F.col("__ca") + 1).cast("double"), (F.col("n_a") + n_bins).cast("double")
+    )
+    pb = F.try_divide(
+        (F.col("__cb") + 1).cast("double"), (F.col("n_b") + n_bins).cast("double")
+    )
+    term = (pa - pb) * F.ln(F.try_divide(pa, pb))
+    per_bin = j.select(*g, F.col("__bin"), term.alias("__term"), "n_a", "n_b")
+    # deterministic ascending-bin fold, not a reassociating SUM
+    folded = per_bin.groupBy(*g).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("__bin"), F.col("__term")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__term"],
+        ).alias("psi"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    return folded

@@ -2185,3 +2185,60 @@ def test_ks_2sample_exact_reference(spark):
             dg.where(F.col("grp") == grp), "v", "s", "a", "b", n_buckets=3
         ).collect()[0]
         assert grouped[grp] == (solo.ks, solo.n_a, solo.n_b), grp
+
+
+def test_psi_reference_parity(spark):
+    """Laplace-smoothed PSI over the full bin grid (empty bins included)
+    matches a Python reference iterating bins in ascending order to ~1
+    ulp; identical samples give exactly 0.0; the grouped form equals the
+    ungrouped statistic per subset; validation fails fast."""
+    import math
+
+    from pystreamfs_spark.operators.drift import psi
+
+    def psi_ref(a, b, n_bins):
+        lo = min(a + b)
+        hi = max(a + b)
+        ca, cb = [0] * n_bins, [0] * n_bins
+        for xs, cc in ((a, ca), (b, cb)):
+            for x in xs:
+                i = 0 if hi == lo else min(int((x - lo) * n_bins / (hi - lo)), n_bins - 1)
+                cc[i] += 1
+        na, nb = len(a), len(b)
+        out = 0.0
+        for i in range(n_bins):
+            pa = (ca[i] + 1) / (na + n_bins)
+            pb = (cb[i] + 1) / (nb + n_bins)
+            out += (pa - pb) * math.log(pa / pb)
+        return out
+
+    a = [1.0, 2.0, 2.0, 3.5, 3.5, 3.5, 7.25, 9.0, 9.0, 12.0, 2.25, 0.5]
+    b = [2.0, 2.0, 2.0, 4.0, 5.5, 7.25, 8.0, 9.0, 14.0]  # different n: empty bins matter
+    rows = [(x, "a") for x in a] + [(x, "b") for x in b] + [(None, "a")]
+    d = spark.createDataFrame(rows, "v double, s string")
+    for nb_ in (4, 10):
+        r = psi(d, "v", "s", "a", "b", n_bins=nb_).collect()[0]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert abs(r.psi - psi_ref(a, b, nb_)) < 1e-12, nb_
+
+    # identical samples: every pa == pb -> every term exactly 0.0
+    same = spark.createDataFrame(
+        [(x, s) for x in a for s in ("a", "b")], "v double, s string"
+    )
+    assert psi(same, "v", "s", "a", "b").collect()[0].psi == 0.0
+
+    # grouped == ungrouped per subset
+    dg = spark.createDataFrame(
+        [(x, "a", "g1") for x in a] + [(x, "b", "g1") for x in b]
+        + [(x * 2, "a", "g2") for x in a] + [(x, "b", "g2") for x in b],
+        "v double, s string, grp string",
+    )
+    got = {r.grp: r.psi for r in psi(dg, "v", "s", "a", "b", group_cols=["grp"]).collect()}
+    for grp in ("g1", "g2"):
+        solo = psi(dg.where(F.col("grp") == grp), "v", "s", "a", "b").collect()[0].psi
+        assert got[grp] == solo, grp
+
+    with pytest.raises(ValueError):
+        psi(d, "v", "s", "a", "a")
+    with pytest.raises(ValueError):
+        psi(d, "v", "s", "a", "b", n_bins=1)
