@@ -1390,7 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # nogueira_sql, lsh_ann, embedding_near_dups, dedup_components,
         # simhash) + a slot for the rows-only bm25_top as space allows.
         # That demand exceeds 50 — prioritize stale oracled entries over
-        # rows-only first-slots, and split the 17 new oracles across r06
+        # rows-only first-slots, and split the 18 new oracles across r06
         # and r07 if needed (each stays within the two-round rule as long
         # as its first driver row lands by r07).
         # OUT — r05-window entries that are then green in both r04 and
@@ -2243,7 +2243,11 @@ def oracle_sql() -> dict[str, str]:
         # j/i list comprehensions mirror the engine's aggregate() fold —
         # `= list_min(...)` + list_max picks the rightmost tied minimum
         "winnow": f"""
-            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            -- the engine coalesces NULL text to '' (winnow.py NULL rule);
+            -- mirror it so the contract survives a corpus with NULL texts
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t
+                          FROM (SELECT doc_id, COALESCE(text, '') AS text
+                                FROM documents)),
             g AS (SELECT doc_id,
                          CASE WHEN len(t) >= 3
                               THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]

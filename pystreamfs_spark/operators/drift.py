@@ -29,8 +29,32 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _usable(v: Column) -> Column:
+    """NULL *and NaN* have no position on the value axis: isNotNull()
+    passes NaN, and one NaN poisons the min/max bounds (every bucket
+    expression goes NaN -> floor NaN -> one bucket), silently collapsing
+    the statistic. Exclude both up front."""
+    return v.isNotNull() & ~F.isnan(v.cast("double"))
+
+
+def _equal_width_bucket(v: Column, lo: Column, hi: Column, n: int) -> Column:
+    """Equal-width bin index over [lo, hi] — floor of a monotone map, so
+    bucket(v1) <= bucket(v2) whenever v1 <= v2 (order-aligned: a bucket
+    prefix + within-bucket cumsum IS the global cumsum). Constant axis
+    (hi == lo) lands everything in bucket 0 via try_divide/coalesce; the
+    top edge clamps to n-1. Shared by ks_2sample and psi — fix bucket
+    semantics HERE, once."""
+    return F.least(
+        F.coalesce(
+            F.floor(F.try_divide((v.cast("double") - lo) * n, hi - lo)),
+            F.lit(0),
+        ),
+        F.lit(n - 1),
+    ).cast("int")
 
 
 def ks_2sample(
@@ -47,9 +71,9 @@ def ks_2sample(
     n_b bigint) — or one row per group when ``group_cols`` is given (the
     production monitoring shape: every feature/source/day pair scored in
     a single pass; the value axis is bucketized per group against that
-    group's own min/max). NULL values are excluded from both samples (a
-    NULL has no position on the value axis); an empty side yields
-    ks = NULL via try_divide — test for it rather than crashing a
+    group's own min/max). NULL and NaN values are excluded from both
+    samples (neither has a position on the value axis); an empty side
+    yields ks = NULL via try_divide — test for it rather than crashing a
     monitoring job.
 
     Ties are handled exactly: both CDFs step at each distinct value by
@@ -63,31 +87,19 @@ def ks_2sample(
 
     v = F.col(value_col)
     s = F.col(slice_col)
-    base = df.where(v.isNotNull() & s.isin([slice_a, slice_b]))
+    base = df.where(_usable(v) & s.isin([slice_a, slice_b]))
     counts = base.groupBy(*g, v.alias("__v")).agg(
         F.sum(F.when(s == slice_a, 1).otherwise(0)).cast("long").alias("__ca"),
         F.sum(F.when(s == slice_b, 1).otherwise(0)).cast("long").alias("__cb"),
     )
 
-    # order-aligned range buckets over the (per-group) value axis: floor
-    # of a monotone map keeps bucket(v1) <= bucket(v2) whenever v1 <= v2,
-    # so the bucket prefix + within-bucket cumsum IS the global cumsum
     bounds = counts.groupBy(*g).agg(
         F.min("__v").cast("double").alias("__lo"),
         F.max("__v").cast("double").alias("__hi"),
     )
-    span = F.col("__hi") - F.col("__lo")
-    bucket = F.least(
-        F.coalesce(
-            F.floor(
-                F.try_divide(
-                    (F.col("__v").cast("double") - F.col("__lo")) * n_buckets, span
-                )
-            ),
-            F.lit(0),  # constant axis (hi == lo): everything in bucket 0
-        ),
-        F.lit(n_buckets - 1),
-    ).cast("int")
+    bucket = _equal_width_bucket(
+        F.col("__v"), F.col("__lo"), F.col("__hi"), n_buckets
+    )
     joined_bounds = (
         counts.join(F.broadcast(bounds), g) if g else counts.crossJoin(F.broadcast(bounds))
     )
@@ -117,9 +129,12 @@ def ks_2sample(
         F.coalesce(F.sum("__ta").over(w_b), F.lit(0)).alias("__pre_a"),
         F.coalesce(F.sum("__tb").over(w_b), F.lit(0)).alias("__pre_b"),
     )
-    n = base.groupBy(*g).agg(
-        F.sum(F.when(s == slice_a, 1).otherwise(0)).cast("long").alias("n_a"),
-        F.sum(F.when(s == slice_b, 1).otherwise(0)).cast("long").alias("n_b"),
+    # totals come from the already-aggregated counts frame — a second
+    # scan of the raw data would double the dominant cost for the same
+    # integers (the psi implementation and the SQL oracle do the same)
+    n = counts.groupBy(*g).agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
     )
     withpre = cum.join(F.broadcast(prefix), g + ["__b"])
     joined = withpre.join(F.broadcast(n), g) if g else withpre.crossJoin(F.broadcast(n))
@@ -164,7 +179,11 @@ def psi(
     libm log may differ in the last bit; everything else is exact).
 
     Returns (psi double, n_a bigint, n_b bigint), one row per group (or
-    one row total). NULL values excluded. Scale shape: one groupBy
+    one row total). NULL and NaN values excluded (one NaN would poison
+    the min/max axis and collapse every bin). An EMPTY side yields
+    psi = NULL like ks_2sample — Laplace smoothing would otherwise score
+    slice_a against a uniform distribution and report a plausible finite
+    "drift" for a misconfigured slice label. Scale shape: one groupBy
     histogram (shuffle O(groups × n_bins)) after a broadcast bounds join —
     the data is never re-shuffled or collected."""
     if n_bins < 2:
@@ -175,23 +194,12 @@ def psi(
 
     v = F.col(value_col)
     s = F.col(slice_col)
-    base = df.where(v.isNotNull() & s.isin([slice_a, slice_b]))
+    base = df.where(_usable(v) & s.isin([slice_a, slice_b]))
     bounds = base.groupBy(*g).agg(
         F.min(v.cast("double")).alias("__lo"), F.max(v.cast("double")).alias("__hi")
     )
     wb = base.join(F.broadcast(bounds), g) if g else base.crossJoin(F.broadcast(bounds))
-    bin_ = F.least(
-        F.coalesce(
-            F.floor(
-                F.try_divide(
-                    (v.cast("double") - F.col("__lo")) * n_bins,
-                    F.col("__hi") - F.col("__lo"),
-                )
-            ),
-            F.lit(0),
-        ),
-        F.lit(n_bins - 1),
-    ).cast("int")
+    bin_ = _equal_width_bucket(v, F.col("__lo"), F.col("__hi"), n_bins)
     hist = wb.groupBy(*g, bin_.alias("__bin")).agg(
         F.sum(F.when(s == slice_a, 1).otherwise(0)).cast("long").alias("__ca"),
         F.sum(F.when(s == slice_b, 1).otherwise(0)).cast("long").alias("__cb"),
@@ -222,8 +230,13 @@ def psi(
             F.sort_array(F.collect_list(F.struct(F.col("__bin"), F.col("__term")))),
             F.lit(0.0),
             lambda acc, x: acc + x["__term"],
-        ).alias("psi"),
+        ).alias("__psi"),
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"),
     )
-    return folded
+    return folded.select(
+        *g,
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("__psi")).alias("psi"),
+        "n_a",
+        "n_b",
+    )

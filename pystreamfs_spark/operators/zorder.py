@@ -139,6 +139,13 @@ def cluster_by_zorder(
     layout survives in row order, readers never see the helper column."""
     if n_partitions < 1:
         raise ValueError("n_partitions must be >= 1")
+    if key_col in df.columns:
+        # add_zorder_key would overwrite it and keep_key=False would then
+        # DROP the user's column — silent data loss; make them rename
+        raise ValueError(
+            f"cluster_by_zorder: input already has a {key_col!r} column - "
+            "pass a different key_col"
+        )
     k = add_zorder_key(df, cols, bits_per_dim, key_col)
     out = k.repartitionByRange(n_partitions, key_col).sortWithinPartitions(key_col)
     return out if keep_key else out.drop(key_col)

@@ -2121,6 +2121,9 @@ def test_cluster_by_zorder_file_locality(spark, tmp_path):
         cluster_by_zorder(d, ["x", "y"], 0)
     # keep_key=True retains the zkey column for layout audits
     assert "zkey" in cluster_by_zorder(d, ["x", "y"], 4, keep_key=True).columns
+    # a pre-existing key_col column would be silently overwritten+dropped
+    with pytest.raises(ValueError, match="zkey"):
+        cluster_by_zorder(d.withColumn("zkey", F.lit(1)), ["x", "y"], 4)
 
 
 def test_ks_2sample_exact_reference(spark):
@@ -2161,6 +2164,17 @@ def test_ks_2sample_exact_reference(spark):
     # empty side -> NULL ks (try_divide), not a crash
     r = ks_2sample(d, "v", "s", "a", "nosuch").collect()[0]
     assert r.ks is None and r.n_a == len(a) and r.n_b == 0
+
+    # NaN has no position on the value axis: one NaN row must neither
+    # count as mass nor poison the min/max bounds (a poisoned axis sends
+    # every value to bucket 0 — the single-task funnel the bucketing
+    # exists to avoid)
+    dn = spark.createDataFrame(
+        [(x, "a") for x in a] + [(x, "b") for x in b] + [(float("nan"), "a")],
+        "v double, s string",
+    )
+    rn = ks_2sample(dn, "v", "s", "a", "b").collect()[0]
+    assert (rn.ks, rn.n_a, rn.n_b) == (ks_ref(a, b), len(a), len(b))
 
     # constant value axis (hi == lo): everything lands in bucket 0
     const = spark.createDataFrame([(5.0, "a"), (5.0, "b")], "v double, s string")
@@ -2226,6 +2240,19 @@ def test_psi_reference_parity(spark):
         [(x, s) for x in a for s in ("a", "b")], "v double, s string"
     )
     assert psi(same, "v", "s", "a", "b").collect()[0].psi == 0.0
+
+    # NaN excluded like NULL (one NaN would collapse every bin)
+    dn = spark.createDataFrame(
+        [(x, "a") for x in a] + [(x, "b") for x in b] + [(float("nan"), "b")],
+        "v double, s string",
+    )
+    rn = psi(dn, "v", "s", "a", "b", n_bins=10).collect()[0]
+    assert abs(rn.psi - psi_ref(a, b, 10)) < 1e-12 and rn.n_b == len(b)
+
+    # empty side -> NULL psi (NOT a plausible finite score vs the
+    # uniform distribution Laplace smoothing would otherwise imply)
+    re_ = psi(d, "v", "s", "a", "nosuch").collect()[0]
+    assert re_.psi is None and re_.n_a == len(a) and re_.n_b == 0
 
     # grouped == ungrouped per subset
     dg = spark.createDataFrame(
