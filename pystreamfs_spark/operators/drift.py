@@ -17,6 +17,10 @@ MAX of exact divisions has no reassociation hazard).
 Scale notes (100 TB):
 - One groupBy(value) count (shuffle O(distinct values), map-side combined)
   collapses the data to the distinct-value relation before any ordering.
+  Four branches reference that counts frame (cumsum, axis bounds, bucket
+  totals, sample sizes); its exchange is identical in each, so runtime
+  exchange reuse computes it ONCE (ReusedExchange in the executed plan —
+  asserted in test_plans) and the raw table is scanned once.
 - The cumulative count is a DISTRIBUTED prefix sum, not one global window
   (which would serialize every distinct value through a single task): the
   value range is cut into ``n_buckets`` order-aligned range buckets (one

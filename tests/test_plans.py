@@ -328,3 +328,29 @@ def test_dsir_ratio_table_is_broadcast(spark, sf_dir):
     out = dsir_weights(d, d.where(F.col("source") == "src0"), n=2, n_buckets=512)
     text = explain_str(out)
     assert "BroadcastExchange" in text, text[:3000]
+
+
+def test_ks_2sample_shares_the_counts_branch_and_partitions_the_cumsum(spark, sf_dir):
+    """ks_2sample references the distinct-value counts frame from four
+    branches (main cumsum, axis bounds, bucket totals, sample sizes);
+    at runtime the counts exchange must be COMPUTED ONCE and reused
+    (ReusedExchange — the ngram_jaccard self-join precedent), the
+    per-value cumsum window must be partitioned by the range bucket
+    (never a global sort of the distinct values), and the tiny
+    bounds/prefix/totals tables must reach their joins as broadcasts."""
+    from pystreamfs_spark.operators.drift import ks_2sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ks_2sample(ev, "value", "event_type", "click", "purchase")
+    text = explain_str(out)
+    assert "BroadcastExchange" in text, text[:3000]
+    # the cumsum window's partition spec carries the bucket column
+    win = [
+        ln for ln in text.splitlines()
+        if ln.lstrip().startswith("Arguments") and "__cum" in ln
+    ]
+    assert win and all("__b" in ln for ln in win), win
+    # executed plan: AQE dedupes the identical counts subtrees
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed[:3000]
