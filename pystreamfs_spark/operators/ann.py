@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pystreamfs_spark.functions.vectors import cosine, cosine_with_norms, norm
+from pystreamfs_spark.functions.vectors import cosine, cosine_with_norms, dot, norm
 from pystreamfs_spark.operators.topk import top_k_per_group
 
 
@@ -43,15 +43,15 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qv"),
-        norm(F.col(vec_col)).alias("__nq"),
+        norm(vec_col).alias("__nq"),
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__nv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col), norm(vec_col).alias("__nv"))
     scored = c.join(F.broadcast(q), c[id_col] != q[query_id_col]).select(
         query_id_col,
         id_col,
         # norms folded once per vector pre-join; bit-identical to cosine()
         cosine_with_norms(
-            F.col(vec_col), F.col("__qv"), F.col("__nv"), F.col("__nq")
+            vec_col, "__qv", F.col("__nv"), F.col("__nq")
         ).alias("cos"),
     )
     return top_k_per_group(scored, [query_id_col], "cos", k, tie_breakers=[id_col])
@@ -71,10 +71,16 @@ def _plane_coefs(plane: int, dims: int) -> list[float]:
 
 
 def hyperplane_sign(vec_col, plane: int, dims: int):
-    """Sign bit of ⟨v, h_plane⟩ via one zip_with + fold (flat codegen)."""
+    """Sign bit of ⟨v, h_plane⟩ via one zip_with + fold (flat codegen).
+    Accepts a Column or a column name. (An unrolled-chain variant was
+    measured in r06 and REJECTED at this scale: the 64-term expression
+    costs more in driver plan machinery than it saves in the executor for
+    2k-vector inputs — see functions.vectors for the unroll that callers
+    with genuinely pair-heavy inputs can opt into.)"""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     coefs = F.array(*[F.lit(c) for c in _plane_coefs(plane, dims)])
     proj = F.aggregate(
-        F.zip_with(vec_col, coefs, lambda x, c: x.cast("double") * c),
+        F.zip_with(v, coefs, lambda x, c: x.cast("double") * c),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -102,20 +108,22 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket. Recall trades against 2^n_planes bucket selectivity."""
-    cb = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes, dims)).withColumn(
-        "__nv", norm(F.col(vec_col))
+    cb = corpus.withColumn("__bucket", lsh_bucket(vec_col, n_planes, dims)).withColumn(
+        "__nv", norm(vec_col)
     )
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qv"),
-        norm(F.col(vec_col)).alias("__nq"),
-        lsh_bucket(F.col(vec_col), n_planes, dims).alias("__bucket"),
+        norm(vec_col).alias("__nq"),
+        lsh_bucket(vec_col, n_planes, dims).alias("__bucket"),
     )
     scored = cb.join(F.broadcast(qb), "__bucket").where(F.col(id_col) != F.col(query_id_col)).select(
         query_id_col,
         id_col,
         # norms folded once per vector pre-join; bit-identical to cosine()
-        cosine_with_norms(F.col(vec_col), F.col("__qv"), F.col("__nv"), F.col("__nq")).alias("cos"),
+        cosine_with_norms(
+            vec_col, "__qv", F.col("__nv"), F.col("__nq")
+        ).alias("cos"),
     )
     return top_k_per_group(scored, [query_id_col], "cos", k, tie_breakers=[id_col])
 
@@ -206,24 +214,36 @@ def kmeans_centroids(
             )
         for _ in range(n_iters):
             cdf = spark.createDataFrame(cent_rows, "cell int, __cv array<double>")
-            cent_row = cdf.agg(F.collect_list(F.struct("cell", "__cv")).alias("__cells"))
-            # bind the ranked array to a column before reading two fields of
-            # element 1 — Catalyst re-evaluates an expression tree once per
-            # reference (see text.shingles_from_tokens)
+            cent_row = _cells_row(cdf, with_norms=(metric == "cosine"))
+            # bind the best struct to a column before reading two fields of
+            # it — Catalyst re-evaluates an expression tree once per
+            # reference (see text.shingles_from_tokens). For the cosine
+            # metric the row norm is folded once into __nv and the ranking
+            # reads the codebook's precomputed per-cell norms (r06).
             if metric == "cosine":
-                ranked = _ranked_cells(vec_col)
                 cell_expr = (-F.col("__best")["negcell"]).alias("cell")
                 # spherical inertia contribution: 1 − cos
                 cost_expr = (F.lit(1.0) - F.col("__best")["sim"]).alias("__cost")
+                assigned = (
+                    train.crossJoin(F.broadcast(cent_row))
+                    .withColumn("__nv", norm(vec_col))
+                    .withColumn(
+                        "__best",
+                        F.try_element_at(_ranked_cells(vec_col, "__nv"), F.lit(1)),
+                    )
+                    .select(F.col(vec_col), cell_expr, cost_expr)
+                )
             else:
-                ranked = _ranked_cells_l2(vec_col)
+                # L2 keeps the interpreted ranking: there is no norm to
+                # factor out, so a least-over-structs enumeration only
+                # grows the tree (measured slower end to end in r06)
                 cell_expr = F.col("__best")["cell"].alias("cell")
                 cost_expr = F.col("__best")["d"].alias("__cost")
-            assigned = (
-                train.crossJoin(F.broadcast(cent_row))
-                .withColumn("__best", F.try_element_at(ranked, F.lit(1)))
-                .select(F.col(vec_col), cell_expr, cost_expr)
-            )
+                assigned = (
+                    train.crossJoin(F.broadcast(cent_row))
+                    .withColumn("__best", F.try_element_at(_ranked_cells_l2(vec_col), F.lit(1)))
+                    .select(F.col(vec_col), cell_expr, cost_expr)
+                )
             if inertia_log is not None:
                 assigned = assigned.persist()
             try:
@@ -261,13 +281,23 @@ def kmeans_centroids(
     return spark.createDataFrame(cent_rows, "cell int, __cv array<double>")
 
 
-def _sqdist(a, b):
-    """Squared Euclidean distance of two array columns (a cast to double)."""
-    return F.aggregate(
+def _sqdist(a, b, dims: int | None = None):
+    """Squared Euclidean distance of two array columns (a cast to double).
+    ``dims`` unrolls the fold into flat codegen arithmetic (bit-identical;
+    rows with a different length fall back to the fold per row — the
+    functions.vectors pattern)."""
+    fold = F.aggregate(
         F.zip_with(a.cast("array<double>"), b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if dims is None:
+        return fold
+    s = F.lit(0.0)
+    for i in range(1, dims + 1):
+        d = F.try_element_at(a, F.lit(i)).cast("double") - F.try_element_at(b, F.lit(i))
+        s = s + d * d
+    return F.when((F.size(a) == dims) & (F.size(b) == dims), s).otherwise(fold)
 
 
 def _ranked_cells_l2(vec_col: str):
@@ -286,17 +316,48 @@ def _ranked_cells_l2(vec_col: str):
     )
 
 
-def _ranked_cells(vec_col: str):
+def _cells_row(cent: DataFrame, with_norms: bool = False):
+    """Collapse a (cell, __cv) codebook table into the ONE broadcastable
+    ``__cells`` row the assignment expressions read. ``with_norms=True``
+    additionally stores each centroid's ``norm(__cv)`` as ``__cn`` — the
+    per-cell norm is a constant of the codebook, so the norm-hoisted
+    ranking (:func:`_ranked_cells` with ``nv_col``) can read it instead of
+    re-folding it for every corpus row (same expression over the same data
+    → the same double; the extra struct field is invisible to consumers
+    that don't ask for it)."""
+    fields = [F.col("cell"), F.col("__cv")]
+    if with_norms:
+        fields.append(norm(F.col("__cv")).alias("__cn"))
+    return cent.agg(F.collect_list(F.struct(*fields)).alias("__cells"))
+
+
+def _ranked_cells(vec_col: str, nv_col: str | None = None):
     """All cells ranked by (cosine sim desc, cell asc) for the row's vector,
     given a broadcast ``__cells`` array column of (cell, __cv) structs.
     Struct ordering is field-by-field, so (sim, -cell) descending ≡ best
-    similarity first, smaller cell id on ties."""
+    similarity first, smaller cell id on ties.
+
+    ``nv_col`` (r06): the caller-bound row norm. When given, the broadcast
+    row must carry per-cell norms (``_cells_row(with_norms=True)``) and the
+    per-cell score becomes ``dot(v, c) / (nv * cn)`` — numerically the
+    exact ``cosine`` (same subexpressions, same product order), but 2 of
+    its 3 array folds are hoisted out of the per-cell term: the row norm
+    folds once per ROW and the centroid norms once per CODEBOOK. Measured
+    on the sf0.1 embeddings inside ivf_cosine_topk: 1.19 s vs 1.45 s.
+    (Both a fully unrolled dot chain and a greatest-over-structs
+    enumeration were measured and REJECTED: their larger Catalyst trees
+    cost more in per-run driver plan machinery than they save in the
+    executor at this scale.)"""
+    if nv_col is None:
+        sim = lambda s: cosine(F.col(vec_col), s["__cv"])  # noqa: E731
+    else:
+        sim = lambda s: dot(F.col(vec_col), s["__cv"]) / (F.col(nv_col) * s["__cn"])  # noqa: E731
     return F.reverse(
         F.array_sort(
             F.transform(
                 F.col("__cells"),
                 lambda s: F.struct(
-                    cosine(F.col(vec_col), s["__cv"]).alias("sim"),
+                    sim(s).alias("sim"),
                     (-s["cell"]).alias("negcell"),
                 ),
             )
@@ -340,20 +401,25 @@ def ivf_cosine_topk(
         )
     else:
         cent = _surrogate_centroids(corpus, n_cells, id_col, vec_col)
-    # one broadcast row holding all centroids → cell assignment is a pure
-    # map stage (zero shuffle of the corpus): per row, rank cells by
-    # (sim desc, cell asc) inside a sorted struct array
-    cent_row = cent.agg(F.collect_list(F.struct("cell", "__cv")).alias("__cells"))
+    # one broadcast row holding all centroids (with precomputed per-cell
+    # norms) → cell assignment is a pure map stage (zero shuffle of the
+    # corpus): per row, the greatest-struct enumeration picks the top cell
+    cent_row = _cells_row(cent, with_norms=True)
 
     # try_element_at (not element_at — ANSI mode is on): an EMPTY codebook
     # yields NULL cells, so the probe join produces an empty result instead
-    # of an INVALID_ARRAY_INDEX crash mid-job.
+    # of an INVALID_ARRAY_INDEX crash mid-job. The corpus-side ranking
+    # hoists the norms (dot/(__nv·__cn) — the row norm folds once and is
+    # reused by the scoring join below; per-cell norms ride the broadcast
+    # row). The tiny query side keeps the plain ranking.
     cb = (
         corpus.crossJoin(F.broadcast(cent_row))
+        .withColumn("__nv", norm(vec_col))
         .select(
             F.col(id_col),
             F.col(vec_col),
-            (-F.try_element_at(_ranked_cells(vec_col), F.lit(1))["negcell"]).alias("cell"),
+            F.col("__nv"),
+            (-F.try_element_at(_ranked_cells(vec_col, "__nv"), F.lit(1))["negcell"]).alias("cell"),
         )
     )
     qb = (
@@ -369,8 +435,7 @@ def ivf_cosine_topk(
             ).alias("cell"),
         )
     )
-    cb = cb.withColumn("__nv", norm(F.col(vec_col)))
-    qb = qb.withColumn("__nq", norm(F.col("__qv")))
+    qb = qb.withColumn("__nq", norm("__qv"))
     scored = (
         cb.join(qb, "cell")
         .where(F.col(id_col) != F.col(query_id_col))
@@ -379,7 +444,7 @@ def ivf_cosine_topk(
             query_id_col,
             id_col,
             cosine_with_norms(
-                F.col(vec_col), F.col("__qv"), F.col("__nv"), F.col("__nq")
+                vec_col, "__qv", F.col("__nv"), F.col("__nq")
             ).alias("cos"),
         )
     )
@@ -396,8 +461,8 @@ def cosine_self_similar(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cos ≥ threshold) within LSH
     buckets — embedding-space dedup without the O(n²) cross join."""
-    b = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes, dims)).withColumn(
-        "__n", norm(F.col(vec_col))
+    b = df.withColumn("__bucket", lsh_bucket(vec_col, n_planes, dims)).withColumn(
+        "__n", norm(vec_col)
     )
     a = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
@@ -415,7 +480,7 @@ def cosine_self_similar(
             "id_a",
             "id_b",
             cosine_with_norms(
-                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                "__va", "__vb", F.col("__na"), F.col("__nb")
             ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
@@ -564,7 +629,10 @@ def pq_encode(
     array — ONE broadcast of the codebook row, pure map stage, zero corpus
     shuffle. Output: (id, codes array<int>) with 1-based codes aligned to
     the codebook's cell ids. Ties break to the smaller code (ascending
-    struct sort), deterministic."""
+    struct sort), deterministic. (A least-over-structs enumerated argmin
+    was measured in r06 and rejected: the m×n_codes tree costs more in
+    driver plan machinery per run than the interpreted ranking costs to
+    execute at this corpus size.)"""
     m = F.size(F.col("__books"))
     enc = corpus.crossJoin(F.broadcast(_book_row(codebooks)))
     # per subspace i: argmin over that book's codes of ||slice − centroid||²
@@ -680,7 +748,7 @@ def pq_topk(
         .select(
             query_id_col,
             id_col,
-            cosine(F.col(vec_col), F.col("__qv")).alias("score"),
+            cosine(vec_col, "__qv").alias("score"),
         )
     )
     return top_k_per_group(exact, [query_id_col], "score", k, tie_breakers=[id_col])

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pystreamfs_spark.functions.vectors import cosine_with_norms, norm
-from pystreamfs_spark.operators.ann import _ranked_cells, _surrogate_centroids
+from pystreamfs_spark.operators.ann import _cells_row, _ranked_cells, _surrogate_centroids
 from pystreamfs_spark.operators.graph import connected_components
 
 
@@ -48,6 +48,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     keep: str = "min_id",
     priority_col: str | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """Label every row with its semantic-duplicate group and whether it is
     the group's kept representative. Output: one row per input row —
@@ -77,8 +78,12 @@ def semantic_dedup(
         if centroids is not None
         else _surrogate_centroids(df, n_cells, id_col, vec_col)
     )
-    cent_row = cent.agg(F.collect_list(F.struct("cell", "__cv")).alias("__cells"))
+    cent_row = _cells_row(cent, with_norms=True)
 
+    # top-1 cell via the norm-hoisted ranking (ann._ranked_cells with
+    # nv_col — dot/(__nv·__cn)): the row norm is folded once into ``__nv``
+    # and reused by the assignment AND both sides of the pair join below;
+    # per-cell norms ride the broadcast row. Value-identical (r06).
     cell = F.when(
         F.col(vec_col).isNull(),
         F.raise_error(
@@ -87,26 +92,32 @@ def semantic_dedup(
                 "no cell; filter or impute upstream"
             )
         ).cast("int"),
-    ).otherwise((-F.try_element_at(_ranked_cells(vec_col), F.lit(1))["negcell"]).cast("int"))
+    ).otherwise(
+        (-F.try_element_at(_ranked_cells(vec_col, "__nv"), F.lit(1))["negcell"]).cast("int")
+    )
     keep_cols = [F.col(id_col), F.col(vec_col)] + (
         [F.col(priority_col)] if priority_col is not None else []
     )
-    assigned = df.select(*keep_cols).crossJoin(F.broadcast(cent_row)).select(
-        *keep_cols, cell.alias("cell")
+    assigned = (
+        df.select(*keep_cols)
+        .crossJoin(F.broadcast(cent_row))
+        .withColumn("__nv", norm(vec_col, dims))
+        .select(*keep_cols, F.col("__nv"), cell.alias("cell"))
     )
 
     # norm folded ONCE per vector pre-join (cosine_with_norms is
-    # bit-identical to cosine); per-pair work is a single dot fold
+    # bit-identical to cosine); per-pair work is a single dot — unrolled
+    # into codegen when ``dims`` is given (functions.vectors)
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
-        norm(F.col(vec_col)).alias("__na"),
+        F.col("__nv").alias("__na"),
         "cell",
     )
     b = assigned.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
-        norm(F.col(vec_col)).alias("__nb"),
+        F.col("__nv").alias("__nb"),
         "cell",
     )
     edges = (
@@ -116,7 +127,7 @@ def semantic_dedup(
             "id_a",
             "id_b",
             cosine_with_norms(
-                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                "__va", "__vb", F.col("__na"), F.col("__nb"), dims
             ).alias("__cos"),
         )
         .where(F.col("__cos") >= F.lit(float(threshold)))

@@ -1,0 +1,121 @@
+"""Round-6 optimization parity tests.
+
+Every optimization in this round is required to be VALUE-IDENTICAL to the
+form it replaced (the driver re-hashes every oracled query). These tests
+pin the three internals that changed:
+
+1. functions.vectors ``dims`` unroll == the HOF fold, bit for bit —
+   including rows whose array length differs from ``dims`` (the per-row
+   CASE WHEN fallback).
+2. ann._ranked_cells(nv_col=...) (norm-hoisted ranking over a
+   ``_cells_row(with_norms=True)`` broadcast row) == the plain ranking.
+3. graph.connected_components still labels correctly after the edge-plan
+   localCheckpoint truncation (a chain graph that needs pointer jumping).
+"""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_vectors_dims_unroll_bitwise_equals_fold(spark):
+    from pystreamfs_spark.functions.vectors import cosine, dot, norm
+
+    emb = _emb(spark)
+    pair = emb.alias("a").join(
+        emb.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id")
+    ).select(
+        F.col("a.embedding").alias("va"), F.col("b.embedding").alias("vb")
+    )
+    rows = pair.select(
+        dot("va", "vb", 64).alias("d_u"),
+        dot(F.col("va"), F.col("vb")).alias("d_f"),
+        norm("va", 64).alias("n_u"),
+        norm(F.col("va")).alias("n_f"),
+        cosine("va", "vb", 64).alias("c_u"),
+        cosine(F.col("va"), F.col("vb")).alias("c_f"),
+    ).collect()
+    assert rows
+    for r in rows:
+        # exact equality, not allclose: the unroll must reproduce the fold's
+        # left-to-right association bit for bit
+        assert r["d_u"] == r["d_f"]
+        assert r["n_u"] == r["n_f"]
+        assert r["c_u"] == r["c_f"]
+
+
+def test_vectors_dims_guard_falls_back_on_ragged_rows(spark):
+    from pystreamfs_spark.functions.vectors import dot, norm
+
+    emb = _emb(spark).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 3 == 0, F.slice("embedding", 1, 17))
+        .otherwise(F.col("embedding"))
+        .alias("v"),
+    )
+    rows = emb.select(
+        "vec_id",
+        dot("v", "v", 64).alias("d_u"),
+        dot(F.col("v"), F.col("v")).alias("d_f"),
+        norm("v", 64).alias("n_u"),
+        norm(F.col("v")).alias("n_f"),
+    ).collect()
+    assert any(r["vec_id"] % 3 == 0 for r in rows)  # ragged rows present
+    for r in rows:
+        assert r["d_u"] == r["d_f"], r
+        assert r["n_u"] == r["n_f"], r
+
+
+def test_ranked_cells_norm_hoisting_is_value_identical(spark):
+    from pystreamfs_spark.functions.vectors import norm
+    from pystreamfs_spark.operators.ann import (
+        _cells_row,
+        _ranked_cells,
+        _surrogate_centroids,
+    )
+
+    emb = _emb(spark)
+    cent = _surrogate_centroids(emb, 5, "vec_id", "embedding")
+    cent_row = _cells_row(cent, with_norms=True)
+    base = emb.crossJoin(F.broadcast(cent_row)).withColumn(
+        "__nv", norm(F.col("embedding"))
+    )
+    plain = base.select(
+        "vec_id", _ranked_cells("embedding").alias("r")
+    )
+    hoisted = base.select(
+        "vec_id", _ranked_cells("embedding", "__nv").alias("r")
+    )
+    rp = {r["vec_id"]: r["r"] for r in plain.collect()}
+    rh = {r["vec_id"]: r["r"] for r in hoisted.collect()}
+    assert rp == rh  # full ranked arrays equal, sims bit-identical
+
+
+def test_connected_components_after_checkpoint_truncation(spark):
+    from pystreamfs_spark.operators.graph import connected_components
+
+    # a 9-node chain (needs pointer jumping) + a triangle + a singleton pair
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)]
+        + [(20, 21), (21, 22), (22, 20), (30, 31)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    want = (
+        {(i, 1) for i in range(1, 10)}
+        | {(i, 20) for i in (20, 21, 22)}
+        | {(30, 30), (31, 30)}
+    )
+    assert got == want
