@@ -112,8 +112,19 @@ def minhash_signatures(
     # shingles live in one task, so the groupBy's map-side PARTIAL aggregate
     # collapses them to one row per (doc × mixer) before anything crosses the
     # wire — shuffled volume is O(n_docs), not O(n_shingles), at any scale.
-    sh = shingle_table(df, text_col, id_col, k).select(
-        id_col, _shingle_hash(F.col("shingle"), hash_fn).alias("h")
+    #
+    # r06: the gram rows come from text.gram_rows — the positional-explode
+    # construction with NO higher-order function at all (the in-row
+    # shingle-array transform was itself interpreted; building each gram
+    # with concat_ws AFTER the explode is fully codegen'd — measured 1.44 s
+    # vs 2.82 s for this signature job over the 1.15M-turn corpus). It is
+    # occurrence-level where shingle_table is per-doc-distinct: MIN is
+    # duplicate-insensitive, so the signatures are identical (the per-doc
+    # partial aggregate absorbs the duplicates in the same task).
+    from pystreamfs_spark.functions.text import gram_rows
+
+    sh = gram_rows(df, text_col, id_col, k, short_docs="whole").select(
+        id_col, _shingle_hash(F.col("gram"), hash_fn).alias("h")
     )
     n_mixers = n_bands * band_r
     sigs = [

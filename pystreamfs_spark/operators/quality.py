@@ -28,18 +28,18 @@ from pystreamfs_spark.functions.text import shingles_from_tokens, tokens
 
 def _gram_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, gram) with one row per OCCURRENCE (not distinct — repetition
-    counting needs multiplicity)."""
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    counting needs multiplicity). A doc with < n tokens has NO n-grams —
+    no rows → left joins see NULL → 0.0 frac. n > 1 uses text.gram_rows
+    (r06): positional explode + codegen concat_ws instead of the
+    interpreted in-row shingle transform — identical rows, no HOF."""
     if n == 1:
-        gram = F.col("__t")
-    else:
-        # shingles_from_tokens emits one whole-text shingle for short docs
-        # (dedup semantics); here a doc with < n tokens has NO n-grams —
-        # empty array → explode drops it → left joins see NULL → 0.0 frac
-        gram = F.when(
-            F.size(F.col("__t")) >= n, shingles_from_tokens(F.col("__t"), n)
-        ).otherwise(F.array().cast("array<string>"))
-    return toks.select(F.col(id_col), F.explode(gram).alias("gram"))
+        toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+        return toks.select(F.col(id_col), F.explode(F.col("__t")).alias("gram"))
+    from pystreamfs_spark.functions.text import gram_rows
+
+    return gram_rows(df, text_col, id_col, n, short_docs="drop").select(
+        F.col(id_col), "gram"
+    )
 
 
 def _repetition_agg(df: DataFrame, text_col: str, id_col: str, n: int, prefix: str) -> DataFrame:

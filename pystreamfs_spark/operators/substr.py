@@ -51,16 +51,17 @@ def _positional_grams(
 ) -> DataFrame:
     """(id, pos, gram) with 0-based token start positions; docs shorter than
     k tokens contribute no rows (a < k-token doc cannot hold a >= k-token
-    duplicate span)."""
+    duplicate span). Built by text.gram_rows (r06): positional explode +
+    codegen concat_ws instead of the interpreted in-row shingle transform —
+    identical rows, no HOF."""
+    from pystreamfs_spark.functions.text import gram_rows
+
     # NULL text coalesces to '' (one empty token < k → no grams) rather than
-    # poisoning size()/transform() with NULL arrays — chunk_by_tokens' rule
-    toks = df.select(
-        F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t")
+    # poisoning size() with NULL arrays — chunk_by_tokens' rule
+    src = df.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__txt")
     )
-    grams = F.when(
-        F.size(F.col("__t")) >= k, shingles_from_tokens(F.col("__t"), k)
-    ).otherwise(F.array().cast("array<string>"))
-    out = toks.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    out = gram_rows(src, "__txt", id_col, k, short_docs="drop")
     if hash_grams:
         out = out.withColumn("gram", F.xxhash64("gram"))
     return out

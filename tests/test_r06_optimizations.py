@@ -119,3 +119,37 @@ def test_connected_components_after_checkpoint_truncation(spark):
         | {(30, 30), (31, 30)}
     )
     assert got == want
+
+
+def test_gram_rows_equals_shingle_explode(spark):
+    """text.gram_rows must reproduce explode(shingles_from_tokens(...))
+    exactly — both modes, including short docs, empty text and NULL text."""
+    from pystreamfs_spark.functions.text import gram_rows, shingles_from_tokens, tokens
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(100001, "one two"), (100002, "one"), (100003, ""), (100004, None)],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(edge)
+    for k in (3, 5):
+        toks = df.select("doc_id", tokens(F.col("text")).alias("__t"))
+        whole_ref = toks.select(
+            "doc_id",
+            F.posexplode(shingles_from_tokens(F.col("__t"), k)).alias("pos", "gram"),
+        )
+        got = gram_rows(df, "text", "doc_id", k, short_docs="whole")
+        a = sorted(map(tuple, whole_ref.collect()))
+        b = sorted(map(tuple, got.collect()))
+        assert a == b, f"whole k={k}: first diff {next((x, y) for x, y in zip(a, b) if x != y)}"
+
+        drop_ref = toks.select(
+            "doc_id",
+            F.posexplode(
+                F.when(
+                    F.size(F.col("__t")) >= k, shingles_from_tokens(F.col("__t"), k)
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pos", "gram"),
+        )
+        got_d = gram_rows(df, "text", "doc_id", k, short_docs="drop")
+        assert sorted(map(tuple, drop_ref.collect())) == sorted(map(tuple, got_d.collect())), f"drop k={k}"
