@@ -153,3 +153,40 @@ def test_gram_rows_equals_shingle_explode(spark):
         )
         got_d = gram_rows(df, "text", "doc_id", k, short_docs="drop")
         assert sorted(map(tuple, drop_ref.collect())) == sorted(map(tuple, got_d.collect())), f"drop k={k}"
+
+
+def test_bloom_dense_probe_equals_map_probe(spark):
+    """bloom_densify + bloom_might_contain_dense must flag exactly the
+    grams the sparse-map probe flags (same md5 positions, O(1) lookups)."""
+    from pystreamfs_spark.operators.quality import _gram_table
+    from pystreamfs_spark.operators.sketches import (
+        bloom_build,
+        bloom_densify,
+        bloom_might_contain,
+        bloom_might_contain_dense,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    grams = _gram_table(bench, "text", "doc_id", 5).select("gram").distinct()
+    bloom = bloom_build(grams, "gram", k_hashes=5, m_bits=1 << 14)
+    probe = _gram_table(docs, "text", "doc_id", 5)
+    via_map = sorted(
+        map(
+            tuple,
+            probe.crossJoin(F.broadcast(bloom))
+            .where(bloom_might_contain(F.col("gram"), 5, 1 << 14))
+            .select("doc_id", "gram")
+            .collect(),
+        )
+    )
+    via_dense = sorted(
+        map(
+            tuple,
+            probe.crossJoin(F.broadcast(bloom_densify(bloom)))
+            .where(bloom_might_contain_dense(F.col("gram"), 5, 1 << 14))
+            .select("doc_id", "gram")
+            .collect(),
+        )
+    )
+    assert via_map == via_dense and via_map  # non-empty (planted leakage)
