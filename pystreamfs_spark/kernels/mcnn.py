@@ -59,19 +59,24 @@ class MicroClusterState:
         self.n_h = 0
 
     def refresh_stats(self) -> None:
-        while self.n > self.max_n:  # FIFO eviction
-            self.instances = np.delete(self.instances, 0, 0)
-            self.t = np.delete(self.t, 0, 0)
-            self.instance_labels = np.delete(self.instance_labels, 0, 0)
-            self.n -= 1
+        if self.n > self.max_n:  # FIFO eviction
+            # one slice == the reference's repeated np.delete(arr, 0, 0)
+            # loop (identical arrays, O(n) instead of O(evicted·n) copies)
+            k = self.n - self.max_n
+            self.instances = self.instances[k:]
+            self.t = self.t[k:]
+            self.instance_labels = self.instance_labels[k:]
+            self.n = self.max_n
         self.f_val = np.sum(self.instances, axis=0)
         self.n = self.instances.shape[0]
         self.f_val2 = np.sum(self.instances**2, axis=0)
         self.label = np.argmax(np.bincount(self.instance_labels))
         self.variance = np.sqrt((self.f_val2 / self.n) - (self.f_val / self.n) ** 2)
         self.centroid = self.f_val / self.n
-        self.q1 = np.percentile(self.instances, 25, axis=0)
-        self.q3 = np.percentile(self.instances, 75, axis=0)
+        # one percentile call for both quartiles: same partition +
+        # interpolation per axis as two separate calls — identical values,
+        # one sort of the instance block instead of two (r06)
+        self.q1, self.q3 = np.percentile(self.instances, [25, 75], axis=0)
         self.iqr = self.q3 - self.q1
 
 

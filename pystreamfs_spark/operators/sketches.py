@@ -241,6 +241,10 @@ def countmin_estimate(
     columns (fail-fast, inside the estimate expression so it cannot be
     pruned)."""
     item = F.col(item_col).cast("string")
+    # NOTE (r06): a dense-array variant of these lookups (the bloom_densify
+    # pattern) was measured and REJECTED here — the depth×width cell array
+    # carried through the broadcast join costs more per joined row than the
+    # sparse map's linear-scan lookups at the default 4×512 geometry.
     lookups = [
         F.coalesce(
             F.try_element_at(
