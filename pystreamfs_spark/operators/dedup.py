@@ -179,13 +179,40 @@ def minhash_lsh_candidates(
         else minhash_signatures(df, text_col, id_col, n_bands, k, band_r, hash_fn)
     )
     if max_bucket_size is not None:
-        ok = (
-            sig.groupBy("band", "sig")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") <= max_bucket_size)
-            .select("band", "sig")
+        # Capped path (r06, measured): the cap bounds every bucket at
+        # max_bucket_size ids, so pairs can be ENUMERATED from a per-bucket
+        # sorted id array instead of joined — replacing two sort-merge joins
+        # over the full posting list (size-filter join + bucket self-join,
+        # ~9 s of the 13 s minhash_scale entry) with one window count and a
+        # positional double-explode (13.0 → ~7 s end to end). Order of
+        # operations is what makes this safe at scale: the window COUNT
+        # filters oversized buckets BEFORE collect_list runs, so no
+        # aggregation buffer ever holds more than max_bucket_size ids (the
+        # dup_spans hot-key-pin lesson — WindowExec spills its row buffer to
+        # disk, a collect_list over a degenerate bucket would pin memory).
+        # Pair multiset is identical to the join form: each bucket of n ≤ cap
+        # sorted unique ids yields exactly its C(n,2) ordered pairs, once per
+        # shared band, and the final pair-groupBy counts agreeing bands.
+        w = Window.partitionBy("band", "sig")
+        capped = sig.withColumn("__n", F.count(F.lit(1)).over(w)).where(
+            F.col("__n") <= max_bucket_size
         )
-        sig = sig.join(ok, ["band", "sig"])
+        buckets = capped.groupBy("band", "sig").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+        )
+        # posexplode is 0-based; slice() is 1-based → partners of the element
+        # at index __i start at 1-based position __i + 2. __ids is a bound
+        # column, so referencing it from both Generates is O(1) per row (the
+        # Generate-inlining rule applies to expression trees, not columns).
+        pairs = buckets.select(
+            F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids")
+        ).select(
+            "id_a",
+            F.explode(F.slice("__ids", F.col("__i") + 2, max_bucket_size)).alias("id_b"),
+        )
+        return pairs.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("n_shared_bands")
+        )
     a = sig.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = sig.select(F.col(id_col).alias("id_b"), "band", "sig")
     return (

@@ -190,3 +190,48 @@ def test_bloom_dense_probe_equals_map_probe(spark):
         )
     )
     assert via_map == via_dense and via_map  # non-empty (planted leakage)
+
+
+def test_minhash_capped_array_path_equals_join_path(spark):
+    """The capped candidate path (window size filter -> sorted bucket array
+    -> positional pair explode) must emit exactly the pair rows of the
+    join form it replaced: same (id_a, id_b) set, same n_shared_bands.
+    Includes a planted over-cap bucket (identical texts) that both forms
+    must DROP entirely."""
+    from pystreamfs_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    # plant a degenerate bucket: 40 identical docs share every band bucket
+    planted = spark.range(40).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("the same boilerplate sentence repeated across mirrors").alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    for cap in (3, 30):
+        sig = minhash_signatures(corpus, n_bands=8, k=3, band_r=1)
+        ok = (
+            sig.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= cap)
+            .select("band", "sig")
+        )
+        s = sig.join(ok, ["band", "sig"])
+        a = s.select(F.col("doc_id").alias("id_a"), "band", "sig")
+        b = s.select(F.col("doc_id").alias("id_b"), "band", "sig")
+        join_form = (
+            a.join(b, ["band", "sig"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        )
+        got = minhash_lsh_candidates(corpus, n_bands=8, k=3, band_r=1, max_bucket_size=cap)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, join_form.collect())
+        ), f"cap={cap}"
+        # the planted 40-doc bucket is over both caps: none of its internal
+        # pairs may appear (its docs still pair with nothing else - their
+        # grams are unique to the planted text)
+        assert got.where((F.col("id_a") >= 1_000_000) & (F.col("id_b") >= 1_000_000)).count() == 0
