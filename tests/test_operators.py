@@ -659,26 +659,29 @@ def test_connected_components_max_iter_exhaustion_warns_or_raises(spark):
 
     from pystreamfs_spark.operators.graph import connected_components
 
+    # local_threshold=0 forces the DISTRIBUTED loop: the max_iter guard is
+    # its convergence property (the size-gated union-find is always exact)
     e = spark.createDataFrame([(i, i + 1) for i in range(64)], "id_a bigint, id_b bigint")
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        connected_components(e, max_iter=2).collect()
+        connected_components(e, max_iter=2, local_threshold=0).collect()
     assert any("fixpoint not observed" in str(w.message) for w in caught)
 
     with pytest.raises(RuntimeError, match="fixpoint not observed"):
-        connected_components(e, max_iter=2, strict=True)
+        connected_components(e, max_iter=2, strict=True, local_threshold=0)
 
     # a converged run must stay silent
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        connected_components(e, max_iter=12).collect()
+        connected_components(e, max_iter=12, local_threshold=0).collect()
     assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
 
     # fixpoint reached exactly ON the last permitted round: the confirming
     # probe must prove convergence instead of raising a false positive
     # (triangle: neighbor-min finishes in round 1, equality would need 2)
     tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "id_a bigint, id_b bigint")
-    got = {r.id: r.component for r in connected_components(tri, max_iter=1, strict=True).collect()}
+    got = {r.id: r.component for r in connected_components(
+        tri, max_iter=1, strict=True, local_threshold=0).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
 
 

@@ -235,3 +235,31 @@ def test_minhash_capped_array_path_equals_join_path(spark):
         # pairs may appear (its docs still pair with nothing else - their
         # grams are unique to the planted text)
         assert got.where((F.col("id_a") >= 1_000_000) & (F.col("id_b") >= 1_000_000)).count() == 0
+
+
+def test_connected_components_local_gate_equals_distributed(spark):
+    """The size-gated driver union-find must produce exactly the labels of
+    the distributed min-label loop (local_threshold=0 forces it) on every
+    graph shape: chain (pointer-jump stress), star, disjoint cliques,
+    duplicate/reversed edges, and a seeded random graph."""
+    import random
+
+    from pystreamfs_spark.operators.graph import connected_components
+
+    rng = random.Random(13)
+    shapes = {
+        "chain": [(i, i + 1) for i in range(60)],
+        "star": [(0, i) for i in range(1, 40)],
+        "cliques": [(a, b) for base in (100, 200, 300)
+                    for a in range(base, base + 8) for b in range(a + 1, base + 8)],
+        "dups_reversed": [(5, 6), (6, 5), (5, 6), (7, 5)],
+        "random": [(rng.randrange(500), rng.randrange(500)) for _ in range(800)],
+    }
+    for name, pairs in shapes.items():
+        e = spark.createDataFrame(pairs, "id_a long, id_b long")
+        local = sorted(map(tuple, connected_components(e).collect()))
+        dist = sorted(map(tuple, connected_components(e, local_threshold=0).collect()))
+        assert local == dist, name
+    # (string ids are out of contract for BOTH paths: the distributed
+    # loop's convergence aggregate has always cast labels to decimal —
+    # every engine caller keys CC on int/long ids)
