@@ -181,22 +181,29 @@ def minhash_lsh_candidates(
     if max_bucket_size is not None:
         # Capped path (r06, measured): the cap bounds every bucket at
         # max_bucket_size ids, so pairs can be ENUMERATED from a per-bucket
-        # sorted id array instead of joined — replacing two sort-merge joins
-        # over the full posting list (size-filter join + bucket self-join,
-        # ~9 s of the 13 s minhash_scale entry) with one window count and a
-        # positional double-explode (13.0 → ~7 s end to end). Order of
-        # operations is what makes this safe at scale: the window COUNT
-        # filters oversized buckets BEFORE collect_list runs, so no
+        # sorted id array instead of joined — replacing two sort-merge
+        # joins over the full posting list (size-filter join + bucket
+        # self-join, ~9 s of the 13 s minhash_scale entry; end to end
+        # 17.1 → ~4 s interleaved). The cut itself inverts to an ANTI-join
+        # against the OVERSIZED buckets: that list is at most
+        # n_postings/cap rows and in practice heavy-hitter-sized, so AQE
+        # broadcasts it and the cut is a map-only stage (the old form
+        # inner-joined against the huge ok-list — a full sort-merge join);
+        # a degenerate bucket costs nothing here and its postings are
+        # dropped before any buffering. Order of operations keeps the
+        # collect bounded: the cut runs BEFORE collect_list, so no
         # aggregation buffer ever holds more than max_bucket_size ids (the
-        # dup_spans hot-key-pin lesson — WindowExec spills its row buffer to
-        # disk, a collect_list over a degenerate bucket would pin memory).
-        # Pair multiset is identical to the join form: each bucket of n ≤ cap
-        # sorted unique ids yields exactly its C(n,2) ordered pairs, once per
-        # shared band, and the final pair-groupBy counts agreeing bands.
-        w = Window.partitionBy("band", "sig")
-        capped = sig.withColumn("__n", F.count(F.lit(1)).over(w)).where(
-            F.col("__n") <= max_bucket_size
+        # dup_spans hot-key-pin lesson). Pair multiset is identical to the
+        # join form: each bucket of n ≤ cap sorted unique ids yields
+        # exactly its C(n,2) ordered pairs, once per shared band, and the
+        # final pair-groupBy counts agreeing bands.
+        bad = (
+            sig.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket_size)
+            .select("band", "sig")
         )
+        capped = sig.join(bad, ["band", "sig"], "left_anti")
         buckets = capped.groupBy("band", "sig").agg(
             F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
         )
@@ -330,25 +337,78 @@ def ngram_jaccard_pairs(
     every shared shingle is ultra-frequent are not reported.
 
     Plan shape (deliberate): the shingle explode is expensive, so the plan
-    is arranged to compute it twice at most instead of once per consumer —
-    the df cut is a partial-agg + equi-join (map-side combined, AQE
-    skew-splittable; NOT a window over the shingle, which would buffer a
-    stop-shingle's whole group in one task, and NOT a broadcast of the rare
-    set, which is corpus-sized at 100 TB), per-doc set sizes ride along as a
-    window column through the self-join (no separate sizes branch to join
-    back twice), and the self-join's two sides are canonically identical so
-    Catalyst's ReuseExchange materializes the shuffle once."""
+    is arranged to compute it twice at most instead of once per consumer.
+    With ``max_df`` set (r06, measured): the cut is an ANTI-join against
+    the OVERSIZED shingles — a list of at most n_postings/max_df rows,
+    heavy-hitter-sized in practice, so AQE broadcasts it and the cut is a
+    map-only stage (the pre-r06 form inner-joined the posting list against
+    the huge keep-set — a full sort-merge join). The cut also bounds every
+    surviving shingle's bucket at ``max_df`` docs, so pairs are ENUMERATED
+    from a per-shingle sorted (id, set_size) array instead of
+    self-joined — the same bounded-bucket construction as
+    :func:`minhash_lsh_candidates`'s capped path, with collect buffers
+    bounded because the cut runs first. Interleaved at sf0.1: 1.9 → 1.5 s
+    with an identical pair set. Without ``max_df`` buckets are unbounded,
+    so the inverted-index self-join remains (per-doc set sizes ride along
+    as a window column; the join's two sides are canonically identical so
+    Catalyst's ReuseExchange materializes the shuffle once)."""
     sh = shingle_table(df, text_col, id_col, k)
     if max_df is not None:
-        dfreq = (
+        bad = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= max_df)
+            .where(F.col("__df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(dfreq, "shingle")
-    # post-filter set size per doc, carried on every row (pairs then read it
-    # with min() — constant within a pair group)
+        kept = sh.join(bad, "shingle", "left_anti")
+        # post-cut set size per doc (the jaccard denominators), carried on
+        # every posting row — bounded window partition (one doc's shingles)
+        kept = kept.withColumn(
+            "__n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+        buckets = kept.groupBy("shingle").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("__n_sh").alias("n"))
+                )
+            ).alias("__m")
+        )
+        # posexplode is 0-based; slice() is 1-based → partners of element
+        # __j start at 1-based position __j + 2; ids are unique per bucket
+        # and sorted, so positional pairs are exactly the id_a < id_b pairs
+        p = buckets.select(
+            F.posexplode("__m").alias("__j", "__s"), F.col("__m")
+        ).select(
+            F.col("__s.i").alias("id_a"),
+            F.col("__s.n").alias("__n_a"),
+            F.explode(F.slice("__m", F.col("__j") + 2, max_df)).alias("__s2"),
+        )
+        return (
+            p.select(
+                "id_a",
+                "__n_a",
+                F.col("__s2.i").alias("id_b"),
+                F.col("__s2.n").alias("__n_b"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_inter"),
+                F.min("__n_a").alias("n_a"),
+                F.min("__n_b").alias("n_b"),
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("n_inter").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+    # uncapped: bucket sizes are unbounded, so the collect-free
+    # inverted-index self-join stays. Set size per doc carried on every row
+    # (pairs then read it with min() — constant within a pair group).
     sh = sh.withColumn("__n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__n_sh").alias("__n_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__n_sh").alias("__n_b"), "shingle")

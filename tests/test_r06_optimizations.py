@@ -193,9 +193,10 @@ def test_bloom_dense_probe_equals_map_probe(spark):
 
 
 def test_minhash_capped_array_path_equals_join_path(spark):
-    """The capped candidate path (window size filter -> sorted bucket array
-    -> positional pair explode) must emit exactly the pair rows of the
-    join form it replaced: same (id_a, id_b) set, same n_shared_bands.
+    """The capped candidate path (anti-join cut of oversized buckets ->
+    sorted bucket array -> positional pair explode) must emit exactly the
+    pair rows of the join form it replaced: same (id_a, id_b) set, same
+    n_shared_bands.
     Includes a planted over-cap bucket (identical texts) that both forms
     must DROP entirely."""
     from pystreamfs_spark.operators.dedup import (
@@ -263,3 +264,58 @@ def test_connected_components_local_gate_equals_distributed(spark):
     # (string ids are out of contract for BOTH paths: the distributed
     # loop's convergence aggregate has always cast labels to decimal —
     # every engine caller keys CC on int/long ids)
+
+
+def test_ngram_jaccard_capped_bucket_path_equals_join_path(spark):
+    """With max_df set, ngram_jaccard_pairs enumerates pairs from bounded
+    per-shingle buckets (anti-join cut). Must equal the uncapped self-join
+    form restricted by the same cut — including a planted stop-shingle
+    that the cut removes from every doc's effective set."""
+    from pyspark.sql import Window
+
+    from pystreamfs_spark.operators.dedup import ngram_jaccard_pairs, shingle_table
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    # plant a shared boilerplate prefix so one shingle exceeds small max_df
+    planted = docs.limit(30).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("mirror site boilerplate header here "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    for max_df in (5, 100):
+        # reference: the old join form (cut -> window sizes -> self-join)
+        sh = shingle_table(corpus, "text", "doc_id", 3)
+        dfreq = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        shc = sh.join(dfreq, "shingle").withColumn(
+            "__n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        a = shc.select(F.col("doc_id").alias("id_a"), F.col("__n_sh").alias("__n_a"), "shingle")
+        b = shc.select(F.col("doc_id").alias("id_b"), F.col("__n_sh").alias("__n_b"), "shingle")
+        ref = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_inter"),
+                F.min("__n_a").alias("n_a"),
+                F.min("__n_b").alias("n_b"),
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("n_inter").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= 0.1)
+        )
+        got = ngram_jaccard_pairs(corpus, k=3, threshold=0.1, max_df=max_df)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, ref.collect())
+        ), f"max_df={max_df}"
