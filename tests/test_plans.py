@@ -48,11 +48,16 @@ def test_fold_exchange_budget(spark):
     # pipeline: featurize needs 1 exchange (window on conv_id); the fold's
     # hash repartition on the same key must be eliminated or amortized —
     # total exchanges in the whole plan must be exactly 1
-    folded = fold_weights_stream(f, kernel="ofs", batch_size=10)
+    # materialize=False: the default lazily checkpoints the output (its
+    # plan then reads as one ExistingRDD scan); the raw plan is what this
+    # test budgets
+    folded = fold_weights_stream(f, kernel="ofs", batch_size=10, materialize=False)
     n = count_exchanges(folded)
     assert n <= 2, explain_str(folded)[:3000]
     # pre-partitioned contract: zero additional exchange beyond featurize's
-    folded_pp = fold_weights_stream(f, kernel="ofs", batch_size=10, assume_partitioned=True)
+    folded_pp = fold_weights_stream(
+        f, kernel="ofs", batch_size=10, assume_partitioned=True, materialize=False
+    )
     assert count_exchanges(folded_pp) == 1, explain_str(folded_pp)[:3000]
 
 
@@ -88,16 +93,19 @@ def test_partition_pruning_on_date_layout(spark, tmp_path):
 
 def test_ngram_jaccard_plan_budget(spark, sf_dir):
     """The inverted-index jaccard must not recompute the shingle explode per
-    consumer (was 8 Generates) nor broadcast the rare-shingle set (corpus-
-    sized at real scale). Budget: ≤ 4 Generates in either join regime, and in
-    the no-broadcast (at-scale SMJ) regime the self-join sides dedupe via
-    ReuseExchange."""
+    consumer (was 8 Generates). Capped regime (r06): the max_df cut is a
+    LeftAnti join against the OVERSIZED shingles — broadcast by AQE at
+    normal sizes, graceful SMJ LeftAnti when broadcasting is impossible —
+    and pairs enumerate from bounded buckets (no self-join). Budget: ≤ 4
+    Generates. The uncapped regime keeps the self-join, whose two sides
+    must still dedupe via ReuseExchange under forced-SMJ."""
     from pystreamfs_spark.operators.dedup import ngram_jaccard_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = ngram_jaccard_pairs(d, k=3, threshold=0.2, max_df=100)
     text = explain_str(out)
     assert len(re.findall(r"^\(\d+\) Generate", text, flags=re.MULTILINE)) <= 4, text[:3000]
+    assert "LeftAnti" in text, text[:3000]
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -105,7 +113,14 @@ def test_ngram_jaccard_plan_budget(spark, sf_dir):
         out2 = ngram_jaccard_pairs(d, k=3, threshold=0.2, max_df=100)
         out2.collect()  # AQE finalizes the executed plan
         final = out2._jdf.queryExecution().executedPlan().toString()
-        assert "ReusedExchange" in final, final[:3000]
+        # the cut degrades to a sort-merge anti join, never a failure
+        assert "LeftAnti" in final, final[:3000]
+
+        # uncapped path: self-join sides identical -> ReuseExchange
+        out3 = ngram_jaccard_pairs(d, k=3, threshold=0.2)
+        out3.collect()
+        final3 = out3._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in final3, final3[:3000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
