@@ -175,6 +175,10 @@ class CheckpointedFold:
                 batch_size=batch_size,
                 num_features=num_features,
                 kernel_kwargs=kernel_kwargs,
+                # this runner manages its own persistence (the .cache()
+                # below) and its plan-shape tests introspect the raw fold
+                # plan — skip the fold's default localCheckpoint
+                materialize=False,
             )
             .withColumn("__epoch", ep)
             .cache()
