@@ -53,24 +53,26 @@ def _mi_cd_1d(c: np.ndarray, d: np.ndarray, n_neighbors: int = 3) -> float:
         if count > 1:
             k = min(n_neighbors, count - 1)
             vals = np.sort(c[mask])
-            # distance to k-th nearest same-class neighbor, per point
+            # distance to k-th nearest same-class neighbor, per point.
+            # Vectorized (r06): in sorted 1-D values the k nearest lie among
+            # the k predecessors and k successors of the point's position, so
+            # the greedy two-pointer walk's k-th pick equals the k-th order
+            # statistic of those 2k candidate distances — same subtractions,
+            # same value, no per-point Python loop. Position p is the FIRST
+            # occurrence of v (searchsorted left), and exactly that one
+            # occurrence is skipped; equal-valued OTHER points sit at p+1..
+            # and remain valid 0-distance neighbors, as in the loop form
+            # (pinned equal in tests against the loop reference).
             pos = np.searchsorted(vals, c[mask])
-            r = np.empty(count)
-            for i, (v, p) in enumerate(zip(c[mask], pos)):
-                # skip exactly one occurrence of v (the point itself);
-                # equal-valued OTHER points remain valid 0-distance neighbors
-                lo, hi = p, p + 1
-                dist = 0.0
-                for _ in range(k):
-                    left = v - vals[lo - 1] if lo > 0 else np.inf
-                    right = vals[hi] - v if hi < count else np.inf
-                    if left <= right:
-                        dist = left
-                        lo -= 1
-                    else:
-                        dist = right
-                        hi += 1
-                r[i] = dist
+            vp = np.concatenate(
+                [np.full(k, -np.inf), vals, np.full(k, np.inf)]
+            )
+            j = np.arange(k)
+            cm = c[mask][:, None]
+            left = cm - vp[k + pos[:, None] - 1 - j]  # out of range → +inf
+            right = vp[k + pos[:, None] + 1 + j] - cm
+            cands = np.concatenate([left, right], axis=1)
+            r = np.partition(cands, k - 1, axis=1)[:, k - 1]
             radius[mask] = np.nextafter(r, 0)
             k_all[mask] = k
         label_counts[mask] = count

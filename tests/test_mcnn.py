@@ -98,3 +98,100 @@ def test_mcnn_drift_and_relevancy_mechanics():
     assert len(state.clusters) >= 1
     # weights reflect IG-through-relevancy: non-negative, some zeros possible
     assert all((w >= 0).all() for w in ws)
+
+
+def test_mi_vectorized_radius_equals_loop_reference():
+    """The r06 vectorized k-NN radius (k-th order statistic of the 2k
+    sorted-neighbor candidates) must reproduce the greedy two-pointer loop
+    bit for bit — including duplicate values (0-distance neighbors) and
+    tiny classes (k capped at count-1)."""
+
+    def mi_cd_1d_loop(c, d, n_neighbors=3):
+        n = len(c)
+        radius = np.zeros(n)
+        label_counts = np.zeros(n)
+        k_all = np.zeros(n)
+        for label in np.unique(d):
+            mask = d == label
+            count = int(mask.sum())
+            if count > 1:
+                k = min(n_neighbors, count - 1)
+                vals = np.sort(c[mask])
+                pos = np.searchsorted(vals, c[mask])
+                r = np.empty(count)
+                for i, (v, p) in enumerate(zip(c[mask], pos)):
+                    lo, hi = p, p + 1
+                    dist = 0.0
+                    for _ in range(k):
+                        left = v - vals[lo - 1] if lo > 0 else np.inf
+                        right = vals[hi] - v if hi < count else np.inf
+                        if left <= right:
+                            dist = left
+                            lo -= 1
+                        else:
+                            dist = right
+                            hi += 1
+                    r[i] = dist
+                radius[mask] = np.nextafter(r, 0)
+                k_all[mask] = k
+            label_counts[mask] = count
+        keep = label_counts > 1
+        n_eff = int(keep.sum())
+        if n_eff == 0:
+            return 0.0
+        cs = np.sort(c[keep])
+        lo = np.searchsorted(cs, c[keep] - radius[keep], side="left")
+        hi = np.searchsorted(cs, c[keep] + radius[keep], side="right")
+        m_all = hi - lo
+        mi = (
+            digamma(np.array([n_eff]))[0]
+            + np.mean(digamma(k_all[keep]))
+            - np.mean(digamma(label_counts[keep]))
+            - np.mean(digamma(m_all.astype(np.float64)))
+        )
+        return max(0.0, float(mi))
+
+    from pystreamfs_spark.kernels.mi import _mi_cd_1d
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for n in (2, 3, 5, 30, 200):
+        cases.append((rng.normal(size=n), (rng.random(n) > 0.5).astype(int)))
+    # heavy duplicates: 0-distance neighbors everywhere
+    cases.append((np.repeat([1.0, 2.0, 2.0, 3.0], 10), np.tile([0, 1], 20)))
+    # one class with a single member (skipped), one constant class
+    cases.append((np.array([0.0, 5.0, 5.0, 5.0]), np.array([0, 1, 1, 1])))
+    # three classes
+    cases.append((rng.normal(size=60), rng.integers(0, 3, 60)))
+    for c, d in cases:
+        got = _mi_cd_1d(c.astype(float), d)
+        want = mi_cd_1d_loop(c.astype(float), d)
+        assert got == want, (c[:8], d[:8], got, want)
+
+
+def test_index_buffers_mirror_clusters_exactly():
+    """After a long churning stream (creates, splits, evictions), the r06
+    capacity-buffered index saved into the state must mirror the clusters
+    dict exactly: ascending keys, and per-row centroid/variance/avg_t/fpr/
+    label equal to the owning cluster's fields."""
+    rng = np.random.default_rng(5)
+    m = 8
+    X = np.concatenate([
+        rng.normal(0, 0.5, (150, m)),
+        rng.normal(6, 0.5, (150, m)),
+        rng.normal(0, 4.0, (200, m)),  # churn burst: many creations/splits
+    ])
+    y = (rng.random(500) > 0.5).astype(float)
+    state = MCNNState.init(m, max_n=20, e_threshold=2)
+    for s in range(0, len(X), 25):
+        state, _ = mcnn_update(state, X[s : s + 25], y[s : s + 25])
+    assert len(state.clusters) >= 2
+    keys = state.keys
+    assert list(keys) == sorted(state.clusters.keys())
+    for i, k in enumerate(keys):
+        c = state.clusters[int(k)]
+        np.testing.assert_array_equal(state.cent[i], c.centroid)
+        np.testing.assert_array_equal(state.var[i], c.variance)
+        assert state.avg_t[i] == np.sum(c.t) / c.n
+        assert state.fpr_arr[i] == c.fpr
+        assert state.label_arr[i] == float(c.label)
